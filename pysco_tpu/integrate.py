@@ -1,0 +1,80 @@
+"""Time integration: leapfrog (KDK) and Euler steps as single XLA programs.
+
+One :func:`step` call = kick + drift + periodic wrap + full PM solve + kick,
+compiled once per (config, integrator, flags) combination
+(reference: integration.py:121-264). The adaptive timestep is chosen on the
+host from the previous step's device-side reductions (max |acc|, max |vel|)
+and the background tables -- the three criteria of integration.py:267-358.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import solver as solver_mod
+from .ops import mesh
+from .solver import DynScalars, SolverConfig
+
+F32 = jnp.float32
+
+
+class StepDiagnostics(NamedTuple):
+    max_abs_acc: jax.Array
+    max_abs_vel: jax.Array
+    mean_additional: jax.Array
+
+
+def _diagnostics(acc, vel, u) -> StepDiagnostics:
+    return StepDiagnostics(
+        max_abs_acc=jnp.max(jnp.abs(acc)),
+        max_abs_vel=jnp.max(jnp.abs(vel)),
+        mean_additional=jnp.mean(u),
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def step(cfg: SolverConfig, integrator: str, first_call: bool, save_pk: bool,
+         position, velocity, acceleration, potential, u,
+         dyn: DynScalars, dt):
+    """One full integration step; returns the new state + diagnostics."""
+    dt = F32(dt)
+    if integrator == "leapfrog":
+        half_dt = F32(0.5) * dt
+        velocity = velocity - acceleration * half_dt
+        position = mesh.periodic_wrap(position + velocity * dt)
+        acceleration, potential, u, pk = solver_mod._pm_impl(
+            cfg, first_call, save_pk, position, potential, u, dyn
+        )
+        velocity = velocity - acceleration * half_dt
+    elif integrator == "euler":
+        position = mesh.periodic_wrap(position + velocity * dt)
+        velocity = velocity - acceleration * dt
+        acceleration, potential, u, pk = solver_mod._pm_impl(
+            cfg, first_call, save_pk, position, potential, u, dyn
+        )
+    else:
+        raise NotImplementedError(
+            f"integrator {integrator!r}, must be 'leapfrog' or 'euler'"
+        )
+    diag = _diagnostics(acceleration, velocity, u)
+    return position, velocity, acceleration, potential, u, pk, diag
+
+
+def compute_dt(param, tables, max_abs_acc: float, max_abs_vel: float):
+    """Host-side adaptive dt: min of the acceleration CFL, velocity CFL and
+    max-scale-factor-variation criteria (integration.py:79-82, 267-358)."""
+    dx = 0.5 ** int(param["ncoarse"])
+    courant = float(param["Courant_factor"])
+    dt1 = courant * np.sqrt(dx / max_abs_acc) if max_abs_acc > 0 else np.inf
+    dt2 = courant * dx / max_abs_vel if max_abs_vel > 0 else np.inf
+    aexp_factor = 1.0 + 0.01 * float(param["max_aexp_stepping"])
+    aexp = float(param["aexp"])
+    dt3 = float(
+        tables[1](np.log(aexp_factor * aexp)) - tables[1](np.log(aexp))
+    )
+    return min(dt1, dt2, dt3), (dt1, dt2, dt3)

@@ -1,0 +1,198 @@
+"""Run loop and CLI.
+
+``run(param)`` mirrors the reference driver (main.py:30-156): background
+tables, initial conditions, first force evaluation, then the adaptive
+kick-drift-kick loop with Morton reordering every ``n_reorder`` steps and
+snapshot/power-spectrum output at each ``z_out``. The device executes one
+compiled program per step; the host performs the dt table lookups, decides
+snapshot clamping and writes outputs.
+"""
+
+from __future__ import annotations
+
+import ast
+import logging
+import os
+from time import perf_counter
+from typing import Dict
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import cosmo, ic
+from . import integrate as integration
+from . import solver as solver_mod
+from .ops import mesh as mesh_ops
+from .utils import io as iostream
+from .utils.config import Params, extra_name, params_from_dict, with_defaults
+from .utils.units import set_units
+
+
+def _setup_logging(verbose: int) -> None:
+    level = {0: logging.ERROR, 1: logging.WARNING, 2: logging.INFO}.get(verbose)
+    if level is None:
+        raise ValueError(f"verbose={verbose}, should be 0, 1 or 2")
+    logging.basicConfig(level=level, format="%(message)s", force=True)
+
+
+def _save_pk_mode(param) -> str:
+    mode = str(param["save_power_spectrum"]).casefold()
+    if mode not in ("no", "z_out", "yes"):
+        raise NotImplementedError(
+            f"save_power_spectrum={mode!r}, should be 'yes', 'z_out' or 'no'"
+        )
+    return mode
+
+
+def _write_pk(pk, param) -> None:
+    if pk is None:
+        return
+    k, Pk, Nmodes = (np.asarray(v) for v in pk)
+    n = 2 ** int(param["ncoarse"])
+    Pk = Pk * (param["boxlen"] / n ** 2) ** 3
+    k = k * 2 * np.pi / param["boxlen"]
+    iostream.write_power_spectrum_to_ascii_file(k, Pk, Nmodes, param)
+
+
+def run(param) -> None:
+    """Run an N-body simulation from a parameter container (dict/Params)."""
+    if isinstance(param, Dict) and not isinstance(param, Params):
+        param = params_from_dict(param)
+    param = with_defaults(param)
+    _setup_logging(int(param["verbose"]))
+    param["write_snapshot"] = False
+    param["extra"] = extra_name(param)
+
+    z_out = param["z_out"]
+    if isinstance(z_out, str):
+        z_out = ast.literal_eval(z_out)
+    z_out = list(z_out)
+
+    os.makedirs(f"{param['base']}/power", exist_ok=True)
+    for i in range(len(z_out) + 1):
+        os.makedirs(f"{param['base']}/output_{i:05d}", exist_ok=True)
+
+    logging.warning("----- Compute background cosmology -----")
+    tables = cosmo.generate(param)
+    param["aexp"] = 1.0 / (1 + param["z_start"])
+    set_units(param)
+    if "nsteps" not in param:
+        param["nsteps"] = 0
+
+    logging.warning("----- Initial conditions -----")
+    position, velocity = ic.generate(param, tables)
+    param["t"] = float(tables[1](np.log(param["aexp"])))
+    param["aexp_old"] = param["aexp"]
+    logging.warning("aexp=%s t=%s", param["aexp"], param["t"])
+
+    cfg = solver_mod.config_from_param(param)
+    integrator = str(param["integrator"]).casefold()
+    pk_mode = _save_pk_mode(param)
+
+    # Device state
+    position = jnp.asarray(position, jnp.float32)
+    velocity = jnp.asarray(velocity, jnp.float32)
+    potential, u = solver_mod.empty_fields(cfg)
+
+    logging.warning("----- Run N-body -----")
+    dyn = solver_mod.compute_dynamics(param)
+    save_pk_first = pk_mode == "yes"
+    acceleration, potential, u, pk = solver_mod.pm(
+        cfg, True, save_pk_first, position, potential, u, dyn
+    )
+    if save_pk_first:
+        _write_pk(pk, param)
+
+    aexp_out = np.sort(1.0 / (np.array(z_out, dtype=np.float64) + 1))
+    t_out = np.array([float(tables[1](np.log(a))) for a in aexp_out])
+    logging.info("aexp_out=%s", aexp_out)
+
+    if "i_snap" not in param:
+        param["i_snap"] = 1
+    else:
+        param["i_snap"] = int(param["i_snap"]) + 1
+
+    max_abs_acc = float(jnp.max(jnp.abs(acceleration)))
+    max_abs_vel = float(jnp.max(jnp.abs(velocity)))
+    first_call = False
+
+    while param["aexp"] < aexp_out[-1]:
+        param["nsteps"] = int(param["nsteps"]) + 1
+
+        dt, dts = integration.compute_dt(param, tables, max_abs_acc, max_abs_vel)
+        t_snap_next = t_out[int(param["i_snap"]) - 1]
+        if param["t"] + dt > t_snap_next:
+            dt = t_snap_next - param["t"]
+            param["write_snapshot"] = True
+        else:
+            param["write_snapshot"] = False
+        logging.info("dt conditions: acc=%s vel=%s aexp=%s", *dts)
+
+        # advance background on the host (reference: integration.py:253-257)
+        param["t"] = param["t"] + dt
+        param["aexp_old"] = param["aexp"]
+        param["aexp"] = float(np.exp(tables[0](param["t"])))
+        set_units(param)
+        d1_new = float(tables[3](np.log(param["aexp"])))
+        d1_old = float(tables[3](np.log(param["aexp_old"]))) or 1.0
+        param["potential_scaling"] = (
+            param["aexp"] * d1_new / (param["aexp_old"] * d1_old)
+        )
+        dyn = solver_mod.compute_dynamics(param)
+
+        save_pk = pk_mode == "yes" or (
+            pk_mode == "z_out" and param["write_snapshot"]
+        )
+        (position, velocity, acceleration, potential, u, pk, diag) = (
+            integration.step(
+                cfg, integrator, first_call, save_pk,
+                position, velocity, acceleration, potential, u, dyn,
+                np.float32(dt),
+            )
+        )
+        if save_pk:
+            _write_pk(pk, param)
+        max_abs_acc = float(diag.max_abs_acc)
+        max_abs_vel = float(diag.max_abs_vel)
+        if cfg.theory == "fr" and param["nsteps"] % 10 == 0:
+            logging.info(
+                "mean(u_scalaron)=%s (should stay close to 1)",
+                float(diag.mean_additional),
+            )
+
+        if param["nsteps"] % int(param["n_reorder"]) == 0:
+            logging.info("Reordering particles")
+            position, velocity, acceleration = mesh_ops.reorder_particles(
+                position, velocity, acceleration
+            )
+        if param["write_snapshot"]:
+            iostream.write_snapshot_particles(
+                np.asarray(position), np.asarray(velocity), param
+            )
+            param["i_snap"] = int(param["i_snap"]) + 1
+        logging.warning(
+            "nsteps=%d aexp=%.6f z=%.4f",
+            param["nsteps"], param["aexp"], 1.0 / param["aexp"] - 1,
+        )
+
+
+def main() -> None:
+    import argparse
+
+    from .utils.config import read_param_file
+
+    parser = argparse.ArgumentParser(description="pysco-tpu N-body runner")
+    parser.add_argument("-c", "--config_file", required=True)
+    args = parser.parse_args()
+    param = read_param_file(args.config_file)
+    print(param)
+    t_start = perf_counter()
+    run(param)
+    t_end = perf_counter()
+    print(f"Simulation run time: {t_end - t_start} seconds.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""f(R) n=1 scalaron operator: per-cell depressed cubic solves.
+
+The reduced scalaron u = sqrt(-f_R) obeys a nonlinear 7-point equation whose
+Gauss-Seidel update requires the real root of ``u^3 + p u + q = 0`` per cell
+(Bose et al. 2017; reference ``cubic.py``). The closed-form root is evaluated
+branchlessly in float64 (the discriminant cancellation genuinely needs it,
+reference cubic.py:162-207) and vectorized over the whole grid -- an ideal
+VPU workload.
+
+Conventions (h = 1/N):
+- operator(x, b, q)[ijk] = x^3 + p x + q h^2,
+  p = h^2 b - (1/6) sum_nb x_nb^2
+- Gauss-Seidel solves the cubic with d1 = 27 (q h^2 - rhs).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mesh
+from .laplacian import F_RELAX, red_black_masks
+
+F32 = jnp.float32
+F64 = jnp.float64
+
+
+def solution_cubic_equation(p: jax.Array, d1: jax.Array) -> jax.Array:
+    """Real root of u^3 + p u + d1/27 = 0 (float64, branchless)."""
+    p = p.astype(F64)
+    d1 = jnp.broadcast_to(jnp.asarray(d1, F64), p.shape)
+    inv3 = 1.0 / 3.0
+    d = d1 * d1 + 108.0 * p ** 3
+
+    # d > 0 branch: single real root via Cardano
+    d_pos = jnp.where(d > 0.0, d, 1.0)
+    dd = d1 + jnp.sqrt(d_pos)
+    dd_safe = jnp.where(dd == 0.0, 1.0, dd)
+    C = jnp.cbrt(0.5 * dd_safe)
+    root_pos = jnp.where(
+        dd == 0.0, -inv3 * jnp.cbrt(d1), -inv3 * (C - 3.0 * p / C)
+    )
+
+    # d < 0 branch: three real roots, take the trigonometric one the
+    # reference selects (theta + 2*pi)/3
+    d0 = jnp.where(d < 0.0, -3.0 * p, 1.0)
+    dn = d1 / (2.0 * d0 ** 1.5)
+    theta = jnp.arccos(jnp.clip(dn, -1.0, 1.0))
+    root_neg = -2.0 * inv3 * jnp.sqrt(d0) * jnp.cos(inv3 * (theta + 2.0 * jnp.pi))
+
+    root_zero = -inv3 * jnp.cbrt(d1)
+    return jnp.where(d > 0.0, root_pos, jnp.where(d < 0.0, root_neg, root_zero))
+
+
+def initialise_potential(b: jax.Array, q) -> jax.Array:
+    """First guess assuming u_nb = 0: root of u^3 + h^2 b u + h^2 q = 0."""
+    n = b.shape[0]
+    h2 = 1.0 / (n * n)
+    d1 = 27.0 * h2 * jnp.asarray(q, F64)
+    d0 = -3.0 * h2 * b.astype(F64)
+    C = jnp.cbrt(0.5 * (d1 + jnp.sqrt(d1 * d1 - 4.0 * d0 ** 3)))
+    return (-(1.0 / 3.0) * (C + d0 / C)).astype(F32)
+
+
+def _neighbour_sq_sum(x: jax.Array) -> jax.Array:
+    x2 = x * x
+    return (
+        mesh.roll(x2, 1, 0)
+        + mesh.roll(x2, -1, 0)
+        + mesh.roll(x2, 1, 1)
+        + mesh.roll(x2, -1, 1)
+        + mesh.roll(x2, 1, 2)
+        + mesh.roll(x2, -1, 2)
+    )
+
+
+def _p_term(x: jax.Array, b: jax.Array) -> jax.Array:
+    n = x.shape[0]
+    h2 = F32(1.0 / (n * n))
+    return h2 * b - F32(1.0 / 6.0) * _neighbour_sq_sum(x)
+
+
+def operator(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    n = x.shape[0]
+    qh2 = F32(q) * F32(1.0 / (n * n))
+    p = _p_term(x, b)
+    return x * x * x + p * x + qh2
+
+
+def residual_with_rhs(x: jax.Array, b: jax.Array, q, rhs: jax.Array) -> jax.Array:
+    return rhs - operator(x, b, q)
+
+
+def residual_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    r = operator(x, b, q)
+    return jnp.sqrt(jnp.sum(r * r))
+
+
+def restrict_residual(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    return mesh.minus_restriction(operator(x, b, q))
+
+
+def restrict_residual_with_rhs(
+    x: jax.Array, b: jax.Array, q, rhs: jax.Array
+) -> jax.Array:
+    return mesh.restriction(residual_with_rhs(x, b, q, rhs))
+
+
+def truncation_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    """FAS truncation error with the x4 coarse-grid factor (cubic.py:1021)."""
+    RLx = mesh.restriction(operator(x, b, q))
+    LRx = operator(mesh.restriction(x), mesh.restriction(b), q)
+    t = F32(4) * RLx - LRx
+    return jnp.sqrt(jnp.sum(t * t))
+
+
+def gauss_seidel(
+    x: jax.Array, b: jax.Array, q, rhs=None, f_relax: float = F_RELAX
+) -> jax.Array:
+    """One red-black sweep of the nonlinear cubic Gauss-Seidel."""
+    n = x.shape[0]
+    h2 = 1.0 / (n * n)
+    d1_q = 27.0 * h2 * jnp.asarray(q, F64)
+    fr = F32(f_relax)
+    red, black = red_black_masks(n)
+    if rhs is None:
+        d1 = d1_q
+    else:
+        d1 = d1_q - 27.0 * rhs.astype(F64)
+
+    for mask in (red, black):
+        p = _p_term(x, b)
+        x_new = solution_cubic_equation(p, d1).astype(F32)
+        x = jnp.where(mask, x + fr * (x_new - x), x)
+    return x
+
+
+def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None) -> jax.Array:
+    for _ in range(n_smoothing):
+        x = gauss_seidel(x, b, q, rhs)
+    return x

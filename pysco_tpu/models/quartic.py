@@ -1,0 +1,142 @@
+"""f(R) n=2 scalaron operator: per-cell depressed quartic solves.
+
+For Hu-Sawicki n=2 the reduced scalaron obeys ``u^4 + p u + q = 0`` per cell
+(Ruan et al. 2021; reference ``quartic.py``). The root is found through the
+resolvent cubic in float64 with the same fallbacks to ``(-q)^(1/4)`` as the
+reference (quartic.py:157-204), vectorized and branchless.
+
+Conventions (h = 1/N):
+- operator(x, b, q)[ijk] = x^4 + p x + q h^2,
+  p = h^2 b - (1/6) sum_nb x_nb^3
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import mesh
+from .laplacian import F_RELAX, red_black_masks
+
+F32 = jnp.float32
+F64 = jnp.float64
+
+
+def solution_quartic_equation(p: jax.Array, q: jax.Array) -> jax.Array:
+    """Real positive root of u^4 + p u + q = 0 (float64, branchless)."""
+    pp = p.astype(F64)
+    qq = jnp.broadcast_to(jnp.asarray(q, F64), pp.shape)
+
+    fallback = jnp.abs(qq) ** 0.25  # (-q)^(1/4) for q < 0; |q| guards q >= 0
+
+    d0 = 12.0 * qq
+    d1_safe = jnp.where(pp == 0.0, 1.0, 27.0 * pp * pp)
+    sqrt_term = 1.0 - 4.0 * d0 * (d0 / d1_safe) ** 2
+    sqrt_term_safe = jnp.where(sqrt_term < 0.0, 0.0, sqrt_term)
+    Q = jnp.cbrt(0.5 * d1_safe * (1.0 + jnp.sqrt(sqrt_term_safe)))
+    Q_safe = jnp.where(Q == 0.0, 1.0, Q)
+    Q_d0oQ = Q_safe + d0 / Q_safe
+    S = 0.5 * jnp.sqrt(jnp.where(Q_d0oQ > 0.0, Q_d0oQ, 1.0) / 3.0)
+    S_safe = jnp.where(S == 0.0, 1.0, S)
+    disc_pos = -4.0 * S * S + pp / S_safe
+    disc_neg = -4.0 * S * S - pp / S_safe
+    root_p_pos = -S + 0.5 * jnp.sqrt(jnp.maximum(disc_pos, 0.0))
+    root_p_neg = S + 0.5 * jnp.sqrt(jnp.maximum(disc_neg, 0.0))
+    root = jnp.where(pp > 0.0, root_p_pos, root_p_neg)
+    root = jnp.where(Q_d0oQ > 0.0, root, fallback)
+    root = jnp.where(sqrt_term < 0.0, fallback, root)
+    return jnp.where(pp == 0.0, fallback, root)
+
+
+def initialise_potential(b: jax.Array, q) -> jax.Array:
+    """First guess assuming u_nb = 0 (quartic.py:214-268)."""
+    n = b.shape[0]
+    h2 = 1.0 / (n * n)
+    d0 = 12.0 * h2 * jnp.asarray(q, F64)
+    p = h2 * b.astype(F64)
+    d1 = 27.0 * p * p
+    Q = jnp.cbrt(0.5 * (d1 + jnp.sqrt(d1 * d1 - 4.0 * d0 ** 3)))
+    S = 0.5 * jnp.sqrt((Q + d0 / Q) / 3.0)
+    return (-S + 0.5 * jnp.sqrt(-4.0 * S * S + p / S)).astype(F32)
+
+
+def _neighbour_cube_sum(x: jax.Array) -> jax.Array:
+    x3 = x * x * x
+    return (
+        mesh.roll(x3, 1, 0)
+        + mesh.roll(x3, -1, 0)
+        + mesh.roll(x3, 1, 1)
+        + mesh.roll(x3, -1, 1)
+        + mesh.roll(x3, 1, 2)
+        + mesh.roll(x3, -1, 2)
+    )
+
+
+def _p_term(x: jax.Array, b: jax.Array) -> jax.Array:
+    n = x.shape[0]
+    h2 = F32(1.0 / (n * n))
+    return h2 * b - F32(1.0 / 6.0) * _neighbour_cube_sum(x)
+
+
+def operator(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    n = x.shape[0]
+    qh2 = F32(q) * F32(1.0 / (n * n))
+    p = _p_term(x, b)
+    x2 = x * x
+    return x2 * x2 + p * x + qh2
+
+
+def residual_with_rhs(x: jax.Array, b: jax.Array, q, rhs: jax.Array) -> jax.Array:
+    return rhs - operator(x, b, q)
+
+
+def residual_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    r = operator(x, b, q)
+    return jnp.sqrt(jnp.sum(r * r))
+
+
+def restrict_residual(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    return mesh.minus_restriction(operator(x, b, q))
+
+
+def restrict_residual_with_rhs(
+    x: jax.Array, b: jax.Array, q, rhs: jax.Array
+) -> jax.Array:
+    return mesh.restriction(residual_with_rhs(x, b, q, rhs))
+
+
+def truncation_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    RLx = mesh.restriction(operator(x, b, q))
+    LRx = operator(mesh.restriction(x), mesh.restriction(b), q)
+    t = F32(4) * RLx - LRx
+    return jnp.sqrt(jnp.sum(t * t))
+
+
+def gauss_seidel(
+    x: jax.Array, b: jax.Array, q, rhs=None, f_relax: float = F_RELAX
+) -> jax.Array:
+    """One red-black sweep of the nonlinear quartic Gauss-Seidel.
+
+    The cell equation with FAS rhs is u^4 + p u + (q h^2 - rhs) = 0.
+    """
+    n = x.shape[0]
+    h2 = 1.0 / (n * n)
+    q_eff_base = h2 * jnp.asarray(q, F64)
+    fr = F32(f_relax)
+    red, black = red_black_masks(n)
+    if rhs is None:
+        q_eff = q_eff_base
+    else:
+        q_eff = q_eff_base - rhs.astype(F64)
+
+    for mask in (red, black):
+        p = _p_term(x, b)
+        x_new = solution_quartic_equation(p, q_eff).astype(F32)
+        x = jnp.where(mask, x + fr * (x_new - x), x)
+    return x
+
+
+def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None) -> jax.Array:
+    for _ in range(n_smoothing):
+        x = gauss_seidel(x, b, q, rhs)
+    return x

@@ -1,0 +1,307 @@
+"""Particle-Mesh force solver: one compiled XLA program per evaluation.
+
+Equivalent of the reference's ``solver.pm`` hot path (solver.py:30-215) --
+deposit, theory-specific right-hand side, linear or multigrid Poisson solve,
+(f(R)) scalaron FAS solve, force stencil and gather -- but traced as a
+single jitted function. Theory/solver/scheme choices are static (baked into
+the trace); everything that changes per step (aexp, f(R) background
+constants, MOND g0 in box units, the growth-rescaling of the previous
+potential) enters as float32 scalars computed on the host in float64
+(:func:`compute_dynamics`).
+
+Conventions identical to the reference:
+- density grids hold particle counts normalised to mean 1 (cell counts x
+  N_cells^3/npart);
+- rhs of the Poisson equation is 1.5 * aexp * Om_m * mu(z) * (delta - 1)
+  (solver.py:444-449), MOND gets the QUMOND source of the Newtonian
+  potential (solver.py:413-443);
+- the "acceleration" array is +grad(phi); the kick subtracts it.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import cubic, laplacian, mond, multigrid, quartic
+from .ops import fourier, mesh
+from .utils.units import C_KMS
+
+F32 = jnp.float32
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Static (trace-time) solver configuration."""
+
+    theory: str
+    ncoarse: int
+    npart: int
+    mass_scheme: str
+    linear_newton_solver: str
+    gradient_stencil_order: int
+    Npre: int
+    Npost: int
+    fR_n: int
+    mond_function: str
+    mond_alpha: float
+
+    @property
+    def ncells_1d(self) -> int:
+        return 2 ** self.ncoarse
+
+    @property
+    def mas_index(self) -> int:
+        return {"ngp": 1, "cic": 2, "tsc": 3}[self.mass_scheme]
+
+
+def config_from_param(param) -> SolverConfig:
+    return SolverConfig(
+        theory=str(param["theory"]).casefold(),
+        ncoarse=int(param["ncoarse"]),
+        npart=int(param["npart"]),
+        mass_scheme=str(param["mass_scheme"]).casefold(),
+        linear_newton_solver=str(param["linear_newton_solver"]).casefold(),
+        gradient_stencil_order=int(param["gradient_stencil_order"]),
+        Npre=int(param["Npre"]),
+        Npost=int(param["Npost"]),
+        fR_n=int(param["fR_n"]),
+        mond_function=str(param["mond_function"]).casefold(),
+        mond_alpha=float(param["mond_alpha"]),
+    )
+
+
+class DynScalars(NamedTuple):
+    """Per-step dynamic scalars (float32 on device, computed in float64)."""
+
+    aexp: jax.Array
+    om_m: jax.Array
+    mu_z: jax.Array  # parametrized mu(z); 1 otherwise
+    epsrel: jax.Array
+    fR_f1: jax.Array
+    fR_f2: jax.Array
+    fR_q: jax.Array
+    fR_half_c2: jax.Array
+    mond_g0: jax.Array
+    potential_scaling: jax.Array
+
+
+def compute_dynamics(param) -> DynScalars:
+    """Host-side (float64) computation of the per-step scalars.
+
+    f(R) background constants follow solver.py:166-197 and :326-351;
+    parametrized mu(z) follows solver.py:95-112; MOND g0 conversion
+    follows solver.py:403-411.
+    """
+    aexp = float(param["aexp"])
+    om_m = float(param["Om_m"])
+    theory = str(param["theory"]).casefold()
+
+    mu_z = 1.0
+    if theory == "parametrized":
+        w0, wa = float(param["w0"]), float(param["wa"])
+        om_lambda = float(param["Om_lambda"])
+        om_r = float(param["Om_r"])
+        evolution_term = aexp ** (-3 * (1 + w0 + wa)) * math.exp(
+            -3 * wa * (1 - aexp)
+        )
+        omega_lambda_z = (
+            om_lambda
+            * evolution_term
+            / (om_m * aexp ** -3 + om_r * aexp ** -4 + om_lambda * evolution_term)
+        )
+        mu_z = 1.0 + float(param["parametrized_mu0"]) * omega_lambda_z / om_lambda
+
+    fR_f1 = fR_f2 = fR_q = fR_half_c2 = 0.0
+    if theory == "fr":
+        om_lambda = float(param["Om_lambda"])
+        Rbar = 3 * om_m * aexp ** -3 + 12 * om_lambda
+        Rbar0 = 3 * om_m + 12 * om_lambda
+        fR_a = (
+            -(aexp ** 2)
+            * (Rbar0 / Rbar) ** (int(param["fR_n"]) + 1)
+            * 10.0 ** (-float(param["fR_logfR0"]))
+        )
+        c2 = (C_KMS * param["unit_t"] / (param["unit_l"] * aexp)) ** 2
+        fR_f1 = (aexp * om_m / (c2 * 6)) / (-fR_a)
+        fR_f2 = (Rbar / 3 * aexp ** 4 - om_m * aexp) / (6 * c2) / (-fR_a)
+        fR_q = (-(aexp ** 4) * Rbar / (18 * c2)) / (-fR_a)
+        fR_half_c2 = 0.5 * (-fR_a) * c2
+        param["fR_q"] = fR_q
+
+    mond_g0 = 0.0
+    if theory == "mond":
+        mond_g0 = (
+            float(param["mond_g0"])
+            * 1e-3
+            * 1e-10
+            * param["unit_t"] ** 2
+            / param["unit_l"]
+            * aexp ** (1 + float(param["mond_scale_factor_exponent"]))
+        )
+
+    scaling = float(param.get("potential_scaling", 1.0))
+
+    return DynScalars(
+        aexp=F32(aexp),
+        om_m=F32(om_m),
+        mu_z=F32(mu_z),
+        epsrel=F32(param["epsrel"]),
+        fR_f1=F32(fR_f1),
+        fR_f2=F32(fR_f2),
+        fR_q=F32(fR_q),
+        fR_half_c2=F32(fR_half_c2),
+        mond_g0=F32(mond_g0),
+        potential_scaling=F32(scaling),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solver pieces (all jit-traceable; cfg and flags are static)
+# ---------------------------------------------------------------------------
+
+def _linear_solve(cfg: SolverConfig, rhs, potential, dyn, first_call: bool):
+    """Dispatch of the linear Poisson solve (solver.py:151-164)."""
+    solver = cfg.linear_newton_solver
+    if solver == "multigrid":
+        if first_call:
+            potential = laplacian.initialise_potential(rhs)
+        else:
+            potential = potential * dyn.potential_scaling
+        tolerance = dyn.epsrel * laplacian.truncation_error(potential)
+        return multigrid.linear(
+            potential, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+        )
+    if solver in ("fft", "fft_7pt"):
+        rhs_k = fourier.rfft3(rhs)
+        if solver == "fft_7pt":
+            rhs_k = fourier.inverse_laplacian_7pt(rhs_k)
+        elif cfg.mas_index == 0:
+            rhs_k = fourier.inverse_laplacian(rhs_k)
+        else:
+            rhs_k = fourier.inverse_laplacian_compensated(rhs_k, cfg.mas_index)
+        return fourier.irfft3(rhs_k)
+    raise NotImplementedError(
+        f"linear_newton_solver {solver!r}, should be multigrid, fft, "
+        "fft_7pt or full_fft"
+    )
+
+
+def _fft_force(cfg: SolverConfig, rhs):
+    """full_fft path: solve and differentiate in k-space (solver.py:526-579)."""
+    rhs_k = fourier.rfft3(rhs)
+    if cfg.mas_index == 0:
+        force_k = fourier.gradient_inverse_laplacian(rhs_k)
+    else:
+        force_k = fourier.gradient_inverse_laplacian_compensated(rhs_k, cfg.mas_index)
+    return fourier.irfft3_vec(force_k)
+
+
+def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
+    """Solve the extra field for modified gravity (solver.py:285-380)."""
+    theory = cfg.theory
+    if theory in ("newton", "parametrized"):
+        return u
+    if theory == "fr":
+        dens_term = dyn.fR_f1 * density + dyn.fR_f2
+        if cfg.fR_n == 1:
+            ops = multigrid.fas_ops_cubic(dyn.fR_q)
+            if first_call:
+                u = cubic.initialise_potential(dens_term, dyn.fR_q)
+        elif cfg.fR_n == 2:
+            ops = multigrid.fas_ops_quartic(dyn.fR_q)
+            if first_call:
+                u = quartic.initialise_potential(dens_term, dyn.fR_q)
+        else:
+            raise NotImplementedError(f"fR_n must be 1 or 2, got {cfg.fR_n}")
+        tolerance = dyn.epsrel * ops.truncation_error(u, dens_term)
+        return multigrid.FAS(
+            u, dens_term, ops, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+        )
+    if theory == "mond":
+        # Newtonian potential solve; the result is the "additional field".
+        rhs_newton = (
+            F32(1.5) * dyn.aexp * dyn.om_m * dyn.mu_z * (density - F32(1))
+        )
+        if cfg.linear_newton_solver == "multigrid":
+            if first_call:
+                u = laplacian.initialise_potential(rhs_newton)
+            tolerance = dyn.epsrel * laplacian.truncation_error(u)
+            return multigrid.linear(
+                u, rhs_newton, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+            )
+        if cfg.linear_newton_solver == "fft_7pt":
+            return fourier.irfft3(
+                fourier.inverse_laplacian_7pt(fourier.rfft3(rhs_newton))
+            )
+        raise NotImplementedError(
+            "MOND additional field requires multigrid or fft_7pt "
+            f"(got {cfg.linear_newton_solver!r})"
+        )
+    raise NotImplementedError(f"theory {theory!r}")
+
+
+def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
+             position, potential, u, dyn: DynScalars):
+    n = cfg.ncells_1d
+
+    density = mesh.deposit(position, n, cfg.mass_scheme)
+    if n ** 3 != cfg.npart:
+        density = density * F32(n ** 3 / cfg.npart)
+
+    pk = None
+    if save_pk:
+        # Density power spectrum with MAS compensation; all reference
+        # solver paths reduce to this (raw counts for multigrid,
+        # rhs/(1.5 a Om mu)^2 for the fft paths).
+        pk = fourier.power_spectrum(fourier.rfft3(density), cfg.mas_index)
+
+    u = _additional_field(cfg, density, u, dyn, first_call)
+
+    if cfg.theory == "mond":
+        rhs = mond.rhs(u, dyn.mond_g0, cfg.mond_function, cfg.mond_alpha)
+    else:
+        f1 = F32(1.5) * dyn.aexp * dyn.om_m * dyn.mu_z
+        rhs = f1 * (density - F32(1))
+    del density
+
+    if cfg.linear_newton_solver == "full_fft":
+        force = _fft_force(cfg, rhs)
+        if cfg.theory == "fr":
+            force = force + mesh.derivative_fR(
+                jnp.zeros_like(rhs), u, dyn.fR_half_c2, cfg.fR_n,
+                cfg.gradient_stencil_order,
+            )
+        potential_out = potential  # unused on this path
+    else:
+        potential_out = _linear_solve(cfg, rhs, potential, dyn, first_call)
+        if cfg.theory == "fr":
+            force = mesh.derivative_fR(
+                potential_out, u, dyn.fR_half_c2, cfg.fR_n,
+                cfg.gradient_stencil_order,
+            )
+        else:
+            force = mesh.derivative(potential_out, cfg.gradient_stencil_order)
+
+    acceleration = mesh.gather_vec(force, position, cfg.mass_scheme)
+    return acceleration, potential_out, u, pk
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
+       position, potential, u, dyn: DynScalars):
+    """Compute PM acceleration; returns (acc, potential, additional, pk)."""
+    return _pm_impl(cfg, first_call, save_pk, position, potential, u, dyn)
+
+
+def empty_fields(cfg: SolverConfig):
+    """Placeholder potential / additional-field grids for the first call."""
+    n = cfg.ncells_1d
+    zeros = jnp.zeros((n, n, n), F32)
+    return zeros, zeros
