@@ -97,7 +97,7 @@ def _diff_of_hessian(xk, ij1, ij2) -> np.ndarray:
 
 def _irfft(xk: np.ndarray) -> np.ndarray:
     n = xk.shape[0]
-    return np.fft.irfftn(xk, s=(n, n, n)).astype(F32)
+    return np.fft.irfftn(xk, s=(n, n, n), axes=(0, 1, 2)).astype(F32)
 
 
 def _irfft_vec(xk: np.ndarray) -> np.ndarray:

@@ -122,7 +122,8 @@ def run(param) -> None:
         param["nsteps"] = int(param["nsteps"]) + 1
 
         dt, dts = integration.compute_dt(param, tables, max_abs_acc, max_abs_vel)
-        t_snap_next = t_out[int(param["i_snap"]) - 1]
+        i_snap_idx = min(int(param["i_snap"]) - 1, len(t_out) - 1)
+        t_snap_next = t_out[i_snap_idx]
         if param["t"] + dt > t_snap_next:
             dt = t_snap_next - param["t"]
             param["write_snapshot"] = True
@@ -133,7 +134,12 @@ def run(param) -> None:
         # advance background on the host (reference: integration.py:253-257)
         param["t"] = param["t"] + dt
         param["aexp_old"] = param["aexp"]
-        param["aexp"] = float(np.exp(tables[0](param["t"])))
+        if param["write_snapshot"]:
+            # land exactly on the output scale factor (avoids interp
+            # round-trip error stranding aexp just below the target)
+            param["aexp"] = float(aexp_out[i_snap_idx])
+        else:
+            param["aexp"] = float(np.exp(tables[0](param["t"])))
         set_units(param)
         d1_new = float(tables[3](np.log(param["aexp"])))
         d1_old = float(tables[3](np.log(param["aexp_old"]))) or 1.0
