@@ -37,10 +37,9 @@ def _diagnostics(acc, vel, u) -> StepDiagnostics:
     )
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def step(cfg: SolverConfig, integrator: str, first_call: bool, save_pk: bool,
-         position, velocity, acceleration, potential, u,
-         dyn: DynScalars, dt):
+def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
+              save_pk: bool, position, velocity, acceleration, potential, u,
+              dyn: DynScalars, dt):
     """One full integration step; returns the new state + diagnostics."""
     dt = F32(dt)
     if integrator == "leapfrog":
@@ -63,6 +62,9 @@ def step(cfg: SolverConfig, integrator: str, first_call: bool, save_pk: bool,
         )
     diag = _diagnostics(acceleration, velocity, u)
     return position, velocity, acceleration, potential, u, pk, diag
+
+
+step = partial(jax.jit, static_argnums=(0, 1, 2, 3))(step_impl)
 
 
 def compute_dt(param, tables, max_abs_acc: float, max_abs_vel: float):

@@ -250,11 +250,21 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
 def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
              position, potential, u, dyn: DynScalars):
     n = cfg.ncells_1d
-
     density = mesh.deposit(position, n, cfg.mass_scheme)
     if n ** 3 != cfg.npart:
         density = density * F32(n ** 3 / cfg.npart)
+    return _pm_from_density(
+        cfg, first_call, save_pk, density, position, potential, u, dyn
+    )
 
+
+def _pm_from_density(cfg: SolverConfig, first_call: bool, save_pk: bool,
+                     density, position, potential, u, dyn: DynScalars):
+    """PM solve given the (already normalised, global) density grid.
+
+    Split out from :func:`_pm_impl` so the sharded path can all-reduce
+    per-device partial deposits before the (replicated) field solve.
+    """
     pk = None
     if save_pk:
         # Density power spectrum with MAS compensation; all reference
