@@ -49,8 +49,10 @@ def bench_tpu() -> float:
     pos, vel = _rand_state(NPART)
     pos, vel = jnp.asarray(pos), jnp.asarray(vel)
     phi, u = solver_mod.empty_fields(cfg)
-    acc, phi, u, _ = solver_mod.pm(cfg, True, False, pos, phi, u, dyn)
-    acc.block_until_ready()
+    pos, vel, acc, phi, u, _, _ = solver_mod.pm(
+        cfg, True, False, pos, vel, phi, u, dyn
+    )
+    float(jnp.sum(acc))
 
     def sync(state):
         # block_until_ready is asynchronous on the axon tunnel backend; a

@@ -177,6 +177,62 @@ def generate(param) -> List[Table1D]:
     ]
 
 
+def eisenstein_hu_transfer(k_hmpc, h: float, Om0: float, Ob0: float,
+                           Tcmb: float = 2.726) -> np.ndarray:
+    """Eisenstein & Hu (1998) zero-baryon ("no-wiggle") transfer function.
+
+    Used to generate self-contained linear power spectrum tables for the
+    examples and benchmarks (the reference ships a pre-computed CAMB-like
+    table; we generate ours analytically instead).
+    """
+    k = np.asarray(k_hmpc, dtype=np.float64) * h  # 1/Mpc
+    theta = Tcmb / 2.7
+    om_h2 = Om0 * h * h
+    ob_h2 = Ob0 * h * h
+    fb = Ob0 / Om0
+    # sound horizon approximation (EH98 eq. 26)
+    s = 44.5 * np.log(9.83 / om_h2) / np.sqrt(1 + 10 * ob_h2 ** 0.75)
+    alpha_gamma = (
+        1 - 0.328 * np.log(431 * om_h2) * fb
+        + 0.38 * np.log(22.3 * om_h2) * fb ** 2
+    )
+    gamma_eff = Om0 * h * (
+        alpha_gamma + (1 - alpha_gamma) / (1 + (0.43 * k * s) ** 4)
+    )
+    q = k_hmpc * theta ** 2 / gamma_eff
+    L0 = np.log(2 * np.e + 1.8 * q)
+    C0 = 14.2 + 731.0 / (1 + 62.5 * q)
+    return L0 / (L0 + C0 * q * q)
+
+
+def linear_power_spectrum(k_hmpc, H0: float, Om_m: float, Om_b: float = 0.0486,
+                          ns: float = 0.96, sigma8: float = 0.8,
+                          T_cmb: float = 2.726) -> np.ndarray:
+    """Linear matter P(k) [(Mpc/h)^3] at z=0 from the EH98 shape,
+    normalised to the requested sigma8."""
+    h = H0 / 100.0
+    k = np.asarray(k_hmpc, dtype=np.float64)
+    t = eisenstein_hu_transfer(k, h, Om_m, Om_b, T_cmb)
+    pk_shape = k ** ns * t ** 2
+
+    kint = np.logspace(-4, 2.5, 4096)
+    tint = eisenstein_hu_transfer(kint, h, Om_m, Om_b, T_cmb)
+    x = kint * 8.0
+    w = 3 * (np.sin(x) - x * np.cos(x)) / x ** 3
+    integrand = kint ** (ns + 2) * tint ** 2 * w ** 2 / (2 * np.pi ** 2)
+    sigma2 = np.trapezoid(integrand * kint, x=np.log(kint))
+    return pk_shape * (sigma8 ** 2 / sigma2)
+
+
+def write_power_spectrum_table(path: str, H0: float = 72.0,
+                               Om_m: float = 0.25733, **kw) -> None:
+    """Write a two-column (k [h/Mpc], P(k) [(Mpc/h)^3]) ASCII table."""
+    k = np.logspace(-4, 2, 1000)
+    pk = linear_power_spectrum(k, H0=H0, Om_m=Om_m, **kw)
+    np.savetxt(path, np.c_[k, pk],
+               header="k [h/Mpc]   P(k) [(Mpc/h)^3] (EH98, z=0)")
+
+
 def compute_growth_functions(cosmo: FlatW0WaCDM, param) -> np.ndarray:
     """Integrate the LPT growth ODE system up to third order.
 

@@ -200,6 +200,110 @@ def white_noise_fourier_fixed(
     return out
 
 
+def _force_kernels_upper(ncells_1d: int):
+    """Per-axis spectral displacement kernels g_a(k) = -i k_a/(2 pi k^2)
+    evaluated on the upper half-space (x-plane <= middle, full y/z)."""
+    middle = ncells_1d // 2
+    k_full = ((np.arange(ncells_1d) + middle) % ncells_1d - middle).astype(F32)
+    kx = k_full[: middle + 1][:, None, None]
+    ky = k_full[None, :, None]
+    kz = k_full[None, None, :]
+    k2 = kx * kx + ky * ky + kz * kz
+    k2[0, 0, 0] = 1
+    base = np.complex64(-1j) * (F32(0.5 / np.pi) / k2)
+    return base * kx, base * ky, base * kz
+
+
+def _force_edge_fixes(force: np.ndarray, middle: int, draws) -> None:
+    """Apply the reference's edge/corner assignments for force-space noise
+    (initial_conditions.py:826-905). ``draws`` yields scalar amplitudes in
+    the reference's order."""
+    twopi = np.float32(2 * np.pi)
+    invkmiddle = -np.float32(1.0 / (twopi * middle))
+    f110 = invkmiddle * 0.5 * next(draws)
+    f011 = invkmiddle * 0.5 * next(draws)
+    f101 = invkmiddle * 0.5 * next(draws)
+    f111 = invkmiddle * (1.0 / 3.0) * next(draws)
+    m = middle
+    force[0, 0, 0, :] = 0
+    force[0, m, 0, 0] = 0
+    force[0, 0, m, 0] = 0
+    force[0, m, m, 0] = 0
+    force[m, 0, 0, 1] = 0
+    force[0, 0, m, 1] = 0
+    force[m, 0, m, 1] = 0
+    force[m, 0, 0, 2] = 0
+    force[0, m, 0, 2] = 0
+    force[m, m, 0, 2] = 0
+    force[m, 0, 0, 0] = invkmiddle * next(draws)
+    force[0, m, 0, 1] = invkmiddle * next(draws)
+    force[0, 0, m, 2] = invkmiddle * next(draws)
+    force[m, m, 0, 0] = f110
+    force[m, 0, m, 0] = f101
+    force[m, m, 0, 1] = f110
+    force[0, m, m, 1] = f011
+    force[0, m, m, 2] = f011
+    force[m, m, m, :] = f111
+
+
+def white_noise_fourier_force(
+    ncells_1d: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Rayleigh white noise mapped directly to the displacement field
+    (N, N, N//2+1, 3); same RNG stream as the reference's
+    ``white_noise_fourier_force`` (initial_conditions.py:732-905)."""
+    middle = ncells_1d // 2
+    rng_amplitudes = rng.random((middle + 1, ncells_1d, ncells_1d), dtype=F32)
+    rng_phases = rng.random((middle + 1, ncells_1d, ncells_1d), dtype=F32)
+    phase = F32(2 * np.pi) * rng_phases
+    amplitude = _rayleigh(rng_amplitudes)
+    U = (amplitude * np.cos(phase) + 1j * (amplitude * np.sin(phase))).astype(C64)
+    gs = _force_kernels_upper(ncells_1d)
+    force = np.empty((ncells_1d, ncells_1d, middle + 1, 3), dtype=C64)
+    for a in range(3):
+        # g_a is indexed by the source wavenumber; multiply the upper-space
+        # draws then Hermitian-assemble exactly like the density field
+        force[..., a] = _assemble_half_grid((gs[a] * U).astype(C64))
+    draws = iter(_rayleigh(rng.random(7, dtype=F32)))
+    _force_edge_fixes(force, middle, draws)
+    return force
+
+
+def white_noise_fourier_fixed_force(
+    ncells_1d: int, rng: np.random.Generator, is_paired: bool
+) -> np.ndarray:
+    """Unit-amplitude force-space noise (initial_conditions.py:868-972)."""
+    middle = ncells_1d // 2
+    rng_phases = rng.random((middle + 1, ncells_1d, ncells_1d), dtype=F32)
+    shift = F32(np.pi) if is_paired else F32(0)
+    phase = F32(2 * np.pi) * rng_phases + shift
+    U = (np.cos(phase) + 1j * np.sin(phase)).astype(C64)
+    gs = _force_kernels_upper(ncells_1d)
+    force = np.empty((ncells_1d, ncells_1d, middle + 1, 3), dtype=C64)
+    for a in range(3):
+        force[..., a] = _assemble_half_grid((gs[a] * U).astype(C64))
+    draws = iter(np.ones(7, dtype=F32))
+    _force_edge_fixes(force, middle, draws)
+    return force
+
+
+def generate_force(param) -> np.ndarray:
+    """Displacement field directly from force-space white noise
+    (reference ``generate_force``, initial_conditions.py:338-399)."""
+    transfer_grid = get_transfer_grid(param)
+    ncells_1d = int(round(float(param["npart"]) ** (1.0 / 3.0)))
+    seed = int(param["seed"])
+    rng = np.random.default_rng(seed) if seed >= 0 else np.random.default_rng()
+    if param["fixed_ICS"]:
+        force = white_noise_fourier_fixed_force(
+            ncells_1d, rng, bool(param["paired_ICS"])
+        )
+    else:
+        force = white_noise_fourier_force(ncells_1d, rng)
+    force = force * transfer_grid[..., None]
+    return _irfft_vec(force.astype(C64))
+
+
 def get_transfer_grid(param) -> np.ndarray:
     """sqrt(P(k)) interpolated onto the |k| half grid (in grid units)."""
     k, Pk = np.loadtxt(param["power_spectrum_file"]).T

@@ -27,13 +27,15 @@ class StepDiagnostics(NamedTuple):
     max_abs_acc: jax.Array
     max_abs_vel: jax.Array
     mean_additional: jax.Array
+    overflow: jax.Array
 
 
-def _diagnostics(acc, vel, u) -> StepDiagnostics:
+def _diagnostics(acc, vel, u, overflow) -> StepDiagnostics:
     return StepDiagnostics(
         max_abs_acc=jnp.max(jnp.abs(acc)),
         max_abs_vel=jnp.max(jnp.abs(vel)),
         mean_additional=jnp.mean(u),
+        overflow=overflow,
     )
 
 
@@ -46,21 +48,25 @@ def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
         half_dt = F32(0.5) * dt
         velocity = velocity - acceleration * half_dt
         position = mesh.periodic_wrap(position + velocity * dt)
-        acceleration, potential, u, pk = solver_mod._pm_impl(
-            cfg, first_call, save_pk, position, potential, u, dyn
+        position, velocity, acceleration, potential, u, pk, overflow = (
+            solver_mod._pm_impl(
+                cfg, first_call, save_pk, position, velocity, potential, u, dyn
+            )
         )
         velocity = velocity - acceleration * half_dt
     elif integrator == "euler":
         position = mesh.periodic_wrap(position + velocity * dt)
         velocity = velocity - acceleration * dt
-        acceleration, potential, u, pk = solver_mod._pm_impl(
-            cfg, first_call, save_pk, position, potential, u, dyn
+        position, velocity, acceleration, potential, u, pk, overflow = (
+            solver_mod._pm_impl(
+                cfg, first_call, save_pk, position, velocity, potential, u, dyn
+            )
         )
     else:
         raise NotImplementedError(
             f"integrator {integrator!r}, must be 'leapfrog' or 'euler'"
         )
-    diag = _diagnostics(acceleration, velocity, u)
+    diag = _diagnostics(acceleration, velocity, u, overflow)
     return position, velocity, acceleration, potential, u, pk, diag
 
 

@@ -99,8 +99,8 @@ def run(param) -> None:
     logging.warning("----- Run N-body -----")
     dyn = solver_mod.compute_dynamics(param)
     save_pk_first = pk_mode == "yes"
-    acceleration, potential, u, pk = solver_mod.pm(
-        cfg, True, save_pk_first, position, potential, u, dyn
+    position, velocity, acceleration, potential, u, pk, _ = solver_mod.pm(
+        cfg, True, save_pk_first, position, velocity, potential, u, dyn
     )
     if save_pk_first:
         _write_pk(pk, param)
@@ -162,6 +162,13 @@ def run(param) -> None:
             _write_pk(pk, param)
         max_abs_acc = float(diag.max_abs_acc)
         max_abs_vel = float(diag.max_abs_vel)
+        overflow = int(diag.overflow)
+        if overflow:
+            logging.error(
+                "dense particle engine plane-capacity overflow: %d particles "
+                "dropped this step -- rerun with particle_engine='scatter'",
+                overflow,
+            )
         if cfg.theory == "fr" and param["nsteps"] % 10 == 0:
             logging.info(
                 "mean(u_scalaron)=%s (should stay close to 1)",

@@ -46,6 +46,26 @@ def irfft3_vec(xk: jax.Array) -> jax.Array:
     return jnp.fft.irfftn(xk, s=(n, n, n), axes=(0, 1, 2)).astype(F32)
 
 
+def fft3(x: jax.Array) -> jax.Array:
+    """Complex-to-complex 3D FFT (reference fft_3D, fourier.py:157)."""
+    return jnp.fft.fftn(x.astype(C64), axes=(0, 1, 2)).astype(C64)
+
+
+def ifft3(xk: jax.Array) -> jax.Array:
+    """Complex-to-complex inverse 3D FFT (reference ifft_3D)."""
+    return jnp.fft.ifftn(xk, axes=(0, 1, 2)).astype(C64)
+
+
+def fft3_vec(x: jax.Array) -> jax.Array:
+    """Componentwise complex FFT of (N, N, N, C) (reference fft_3D_grad)."""
+    return jnp.fft.fftn(x.astype(C64), axes=(0, 1, 2)).astype(C64)
+
+
+def ifft3_vec(xk: jax.Array) -> jax.Array:
+    """Componentwise complex inverse FFT (reference ifft_3D_grad)."""
+    return jnp.fft.ifftn(xk, axes=(0, 1, 2)).astype(C64)
+
+
 def _wavenumbers(n: int):
     """Integer wavenumbers for an (n, n, n//2+1) half grid.
 

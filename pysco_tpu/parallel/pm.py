@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from .. import solver as solver_mod
 from ..integrate import StepDiagnostics
+from ..ops import dense_pm
 from ..ops import mesh as mesh_ops
 from ..solver import DynScalars, SolverConfig
 
@@ -41,18 +42,35 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(devices, axis_names=("dp",))
 
 
-def _sharded_pm(cfg: SolverConfig, first_call: bool, position, potential, u,
-                dyn: DynScalars):
-    """Deposit local shard -> psum -> replicated solve -> local gather."""
+def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
+                potential, u, dyn: DynScalars):
+    """Deposit local shard -> psum -> replicated solve -> local gather.
+
+    Each device runs the dense sorted-plane transfer on its own particle
+    shard; only the deposited grids are all-reduced over ICI.
+    """
     n = cfg.ncells_1d
-    density = mesh_ops.deposit(position, n, cfg.mass_scheme)
+    norm = F32(n ** 3 / cfg.npart)
+    if cfg.particle_engine == "dense":
+        position, velocity, starts = dense_pm.sort_by_plane(
+            position, n, velocity
+        )
+        density, overflow = dense_pm.deposit(position, starts, n,
+                                             cfg.mass_scheme)
+    else:
+        density = mesh_ops.deposit(position, n, cfg.mass_scheme)
+        overflow = jnp.int32(0)
     density = jax.lax.psum(density, "dp")
     if n ** 3 != cfg.npart:
-        density = density * F32(n ** 3 / cfg.npart)
-    acc, potential, u, _ = solver_mod._pm_from_density(
-        cfg, first_call, False, density, position, potential, u, dyn
+        density = density * norm
+    force, potential, u, _ = solver_mod._solve_fields(
+        cfg, first_call, False, density, potential, u, dyn
     )
-    return acc, potential, u
+    if cfg.particle_engine == "dense":
+        acc = dense_pm.gather_vec(force, position, starts, cfg.mass_scheme)
+    else:
+        acc = mesh_ops.gather_vec(force, position, cfg.mass_scheme)
+    return position, velocity, acc, potential, u, overflow
 
 
 def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
@@ -68,7 +86,7 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
         in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), dyn_specs, P()),
         out_specs=(
             P("dp"), P("dp"), P("dp"), P(), P(),
-            StepDiagnostics(P(), P(), P()),
+            StepDiagnostics(P(), P(), P(), P()),
         ),
         check_vma=False,
     )
@@ -78,15 +96,17 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
             half_dt = F32(0.5) * dt
             velocity = velocity - acceleration * half_dt
             position = mesh_ops.periodic_wrap(position + velocity * dt)
-            acceleration, potential, u = _sharded_pm(
-                cfg, first_call, position, potential, u, dyn
+            position, velocity, acceleration, potential, u, overflow = (
+                _sharded_pm(cfg, first_call, position, velocity, potential,
+                            u, dyn)
             )
             velocity = velocity - acceleration * half_dt
         elif integrator == "euler":
             position = mesh_ops.periodic_wrap(position + velocity * dt)
             velocity = velocity - acceleration * dt
-            acceleration, potential, u = _sharded_pm(
-                cfg, first_call, position, potential, u, dyn
+            position, velocity, acceleration, potential, u, overflow = (
+                _sharded_pm(cfg, first_call, position, velocity, potential,
+                            u, dyn)
             )
         else:
             raise NotImplementedError(integrator)
@@ -94,6 +114,7 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
             max_abs_acc=jax.lax.pmax(jnp.max(jnp.abs(acceleration)), "dp"),
             max_abs_vel=jax.lax.pmax(jnp.max(jnp.abs(velocity)), "dp"),
             mean_additional=jax.lax.pmean(jnp.mean(u), "dp"),
+            overflow=jax.lax.psum(overflow, "dp"),
         )
         return position, velocity, acceleration, potential, u, diag
 

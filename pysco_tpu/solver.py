@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models import cubic, laplacian, mond, multigrid, quartic
-from .ops import fourier, mesh
+from .ops import dense_pm, fourier, mesh
 from .utils.units import C_KMS
 
 F32 = jnp.float32
@@ -51,6 +51,9 @@ class SolverConfig:
     fR_n: int
     mond_function: str
     mond_alpha: float
+    # "dense": scatter-free sorted-plane transfer (ops/dense_pm.py), the
+    # fast path on TPU. "scatter": XLA scatter/gather reference path.
+    particle_engine: str = "dense"
 
     @property
     def ncells_1d(self) -> int:
@@ -74,6 +77,9 @@ def config_from_param(param) -> SolverConfig:
         fR_n=int(param["fR_n"]),
         mond_function=str(param["mond_function"]).casefold(),
         mond_alpha=float(param["mond_alpha"]),
+        particle_engine=str(param.get("particle_engine", "dense")).casefold()
+        if hasattr(param, "get")
+        else "dense",
     )
 
 
@@ -248,23 +254,49 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
 
 
 def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
-             position, potential, u, dyn: DynScalars):
-    n = cfg.ncells_1d
-    density = mesh.deposit(position, n, cfg.mass_scheme)
-    if n ** 3 != cfg.npart:
-        density = density * F32(n ** 3 / cfg.npart)
-    return _pm_from_density(
-        cfg, first_call, save_pk, density, position, potential, u, dyn
-    )
+             position, velocity, potential, u, dyn: DynScalars):
+    """Full PM force evaluation.
 
-
-def _pm_from_density(cfg: SolverConfig, first_call: bool, save_pk: bool,
-                     density, position, potential, u, dyn: DynScalars):
-    """PM solve given the (already normalised, global) density grid.
-
-    Split out from :func:`_pm_impl` so the sharded path can all-reduce
-    per-device partial deposits before the (replicated) field solve.
+    Returns (position, velocity, acceleration, potential, u, pk, overflow).
+    With the dense engine the particle arrays come back plane-sorted
+    (velocity rides along in the sort; particle identity is irrelevant).
     """
+    n = cfg.ncells_1d
+    norm = F32(n ** 3 / cfg.npart)
+    if cfg.particle_engine == "dense":
+        if velocity is None:
+            position, starts = dense_pm.sort_by_plane(position, n)
+        else:
+            position, velocity, starts = dense_pm.sort_by_plane(
+                position, n, velocity
+            )
+        density, overflow = dense_pm.deposit(
+            position, starts, n, cfg.mass_scheme
+        )
+        if n ** 3 != cfg.npart:
+            density = density * norm
+        force, potential, u, pk = _solve_fields(
+            cfg, first_call, save_pk, density, potential, u, dyn
+        )
+        acceleration = dense_pm.gather_vec(
+            force, position, starts, cfg.mass_scheme
+        )
+    else:
+        density = mesh.deposit(position, n, cfg.mass_scheme)
+        if n ** 3 != cfg.npart:
+            density = density * norm
+        force, potential, u, pk = _solve_fields(
+            cfg, first_call, save_pk, density, potential, u, dyn
+        )
+        acceleration = mesh.gather_vec(force, position, cfg.mass_scheme)
+        overflow = jnp.int32(0)
+    return position, velocity, acceleration, potential, u, pk, overflow
+
+
+def _solve_fields(cfg: SolverConfig, first_call: bool, save_pk: bool,
+                  density, potential, u, dyn: DynScalars):
+    """Field solve given the normalised density grid: additional-field +
+    Poisson solve + force mesh. Returns (force, potential, u, pk)."""
     pk = None
     if save_pk:
         # Density power spectrum with MAS compensation; all reference
@@ -299,15 +331,58 @@ def _pm_from_density(cfg: SolverConfig, first_call: bool, save_pk: bool,
         else:
             force = mesh.derivative(potential_out, cfg.gradient_stencil_order)
 
-    acceleration = mesh.gather_vec(force, position, cfg.mass_scheme)
-    return acceleration, potential_out, u, pk
+    return force, potential_out, u, pk
+
+
+def force_3d(rhs, param):
+    """Library utility: solve the Poisson equation for a given RHS grid
+    and return the force mesh (reference solver.py:582-639).
+
+    Supports multigrid / fft / fft_7pt / full_fft without any MAS
+    compensation (MAS_index = 0).
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        config_from_param(param), mass_scheme="ngp"
+    )  # mas_index -> 1; compensation disabled below
+    rhs = jnp.asarray(rhs, F32)
+    solver = cfg.linear_newton_solver
+    dyn = compute_dynamics(param)
+    if solver == "multigrid":
+        potential = laplacian.initialise_potential(rhs)
+        tolerance = dyn.epsrel * laplacian.truncation_error(potential)
+        potential = multigrid.linear(
+            potential, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+        )
+        return mesh.derivative(potential, cfg.gradient_stencil_order)
+    if solver in ("fft", "fft_7pt"):
+        rhs_k = fourier.rfft3(rhs)
+        if solver == "fft_7pt":
+            rhs_k = fourier.inverse_laplacian_7pt(rhs_k)
+        else:
+            rhs_k = fourier.inverse_laplacian(rhs_k)
+        potential = fourier.irfft3(rhs_k)
+        return mesh.derivative(potential, cfg.gradient_stencil_order)
+    if solver == "full_fft":
+        return fourier.irfft3_vec(
+            fourier.gradient_inverse_laplacian(fourier.rfft3(rhs))
+        )
+    raise NotImplementedError(solver)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
-       position, potential, u, dyn: DynScalars):
-    """Compute PM acceleration; returns (acc, potential, additional, pk)."""
-    return _pm_impl(cfg, first_call, save_pk, position, potential, u, dyn)
+       position, velocity, potential, u, dyn: DynScalars):
+    """Compute PM acceleration.
+
+    Returns (position, velocity, acceleration, potential, additional, pk,
+    overflow); positions/velocities may come back reordered (dense engine
+    sorts particles by plane; velocity rides along).
+    """
+    return _pm_impl(
+        cfg, first_call, save_pk, position, velocity, potential, u, dyn
+    )
 
 
 def empty_fields(cfg: SolverConfig):

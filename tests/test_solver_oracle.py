@@ -92,10 +92,15 @@ def test_pm_newton_fft_matches_float64_oracle(scheme):
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     phi0, u0 = solver_mod.empty_fields(cfg)
-    acc, _, _, _ = solver_mod.pm(cfg, True, False, jnp.asarray(pos), phi0, u0, dyn)
+    pos_out, _, acc, _, _, _, overflow = solver_mod.pm(
+        cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
+    )
+    assert int(overflow) == 0
     acc = np.array(acc)
 
-    want = _oracle_newton_fft(pos, n, aexp, om_m, scheme=scheme)
+    # the dense engine returns plane-sorted particles; evaluate the oracle
+    # at the returned positions
+    want = _oracle_newton_fft(np.array(pos_out), n, aexp, om_m, scheme=scheme)
     scale = np.abs(want).max()
     np.testing.assert_allclose(acc, want, atol=2e-4 * scale)
 
@@ -119,8 +124,8 @@ def test_pm_multigrid_matches_fft7pt():
         cfg = solver_mod.config_from_param(param)
         dyn = solver_mod.compute_dynamics(param)
         phi0, u0 = solver_mod.empty_fields(cfg)
-        acc, _, _, _ = solver_mod.pm(
-            cfg, True, False, jnp.asarray(pos), phi0, u0, dyn
+        _, _, acc, _, _, _, _ = solver_mod.pm(
+            cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
         )
         accs[solver_name] = np.array(acc)
     scale = np.abs(accs["fft_7pt"]).max()
