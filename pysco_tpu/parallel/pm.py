@@ -53,7 +53,7 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
     norm = F32(n ** 3 / cfg.npart)
     if cfg.particle_engine == "dense":
         position, velocity, starts = dense_pm.sort_by_plane(
-            position, n, velocity
+            position, n, cfg.mass_scheme, velocity
         )
         density, overflow = dense_pm.deposit(position, starts, n,
                                              cfg.mass_scheme)

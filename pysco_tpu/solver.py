@@ -265,10 +265,12 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
     norm = F32(n ** 3 / cfg.npart)
     if cfg.particle_engine == "dense":
         if velocity is None:
-            position, starts = dense_pm.sort_by_plane(position, n)
+            position, starts = dense_pm.sort_by_plane(
+                position, n, cfg.mass_scheme
+            )
         else:
             position, velocity, starts = dense_pm.sort_by_plane(
-                position, n, velocity
+                position, n, cfg.mass_scheme, velocity
             )
         density, overflow = dense_pm.deposit(
             position, starts, n, cfg.mass_scheme

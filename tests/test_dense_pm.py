@@ -22,7 +22,7 @@ def _particles(n, seed=0, clustered=False):
 def test_dense_deposit_matches_scatter(scheme, clustered):
     m = 16
     pos = _particles(4096, clustered=clustered)
-    pos_s, starts = dense_pm.sort_by_plane(pos, m)
+    pos_s, starts = dense_pm.sort_by_plane(pos, m, scheme)
     grid, overflow = dense_pm.deposit(pos_s, starts, m, scheme)
     assert int(overflow) == 0
     ref = mesh.deposit(pos, m, scheme)
@@ -36,7 +36,7 @@ def test_dense_gather_matches_scatter(scheme):
     rng = np.random.default_rng(1)
     field = jnp.asarray(rng.random((m, m, m, 3)).astype(np.float32))
     pos = _particles(2048, seed=2)
-    pos_s, starts = dense_pm.sort_by_plane(pos, m)
+    pos_s, starts = dense_pm.sort_by_plane(pos, m, scheme)
     got = dense_pm.gather_vec(field, pos_s, starts, scheme)
     ref = mesh.gather_vec(field, pos_s, scheme)
     np.testing.assert_allclose(np.array(got), np.array(ref),
@@ -49,13 +49,13 @@ def test_sort_by_plane_payload_alignment():
     vel = jnp.asarray(
         np.random.default_rng(4).standard_normal((512, 3)).astype(np.float32)
     )
-    pos_s, vel_s, starts = dense_pm.sort_by_plane(pos, m, vel)
+    pos_s, vel_s, starts = dense_pm.sort_by_plane(pos, m, "tsc", vel)
     # rows stay attached
     lookup = {tuple(p): tuple(v) for p, v in zip(np.array(pos), np.array(vel))}
     for p, v in zip(np.array(pos_s), np.array(vel_s)):
         assert lookup[tuple(p)] == tuple(v)
-    # starts are consistent plane boundaries
-    keys = np.clip((np.array(pos_s)[:, 0] * m).astype(int), 0, m - 1)
+    # starts are consistent plane boundaries (tsc key = base-1 mod m)
+    keys = ((np.array(pos_s)[:, 0] * m).astype(int) - 1) % m
     assert (np.diff(keys) >= 0).all()
     starts = np.array(starts)
     for i in range(m):
@@ -71,7 +71,7 @@ def test_dense_deposit_capacity_overflow_detected():
     pos = pos.at[:, 0].set(pos[:, 0] / m) if hasattr(pos, "at") else pos
     pos = np.array(pos)
     pos[:, 0] = pos[:, 0] / m  # everything in plane 0
-    pos_s, starts = dense_pm.sort_by_plane(jnp.asarray(pos), m)
+    pos_s, starts = dense_pm.sort_by_plane(jnp.asarray(pos), m, "tsc")
     grid, overflow = dense_pm.deposit(pos_s, starts, m, "tsc")
     # capacity is 1.25 * n / m + slack << n, so overflow must trigger
     assert int(overflow) > 0
