@@ -1,0 +1,385 @@
+"""Pallas tile-binned particle-mesh transfer (deposition & interpolation).
+
+The dense engine (ops/dense_pm.py) removed XLA scatter but still builds
+O(M)-wide one-hot matrices per particle. This module is the
+speed-of-light path: particles are sorted by (x-plane, 8-row y-block)
+tile, and a single gridless Pallas kernel walks the tiles sequentially
+(on a single-core TPU a pallas grid is a pipelining loop anyway -- and
+the axon Mosaic toolchain rejects gridded calls, see ROADMAP.md),
+DMA-ing each tile's particle range from HBM and accumulating a small
+VMEM window
+
+    window[(a, y_local), z] += Wx[a] * Wy[y_local] * Wz[z]
+
+as one MXU contraction per particle chunk: A ((W*WY), P) built from
+lane-layout one-hot compares, Wz (P-or-WZ, ...) from the z support, and
+window += A contract_P Wz. Per-tile particle counts are fully dynamic
+(no capacity padding, no overflow possible); tile windows are
+overlap-added into the grid by pure reshapes/rolls afterwards.
+
+The gather kernel runs the transpose: per tile it DMAs the force-field
+window (component-leading layout), contracts A with it per component,
+applies the z weights and streams per-chunk particle values back to HBM.
+Chunk tails that spill past a tile's range are overwritten by the next
+non-empty tile (sequential execution: last write wins), with one chunk
+of padding at the end of the output.
+
+Supports NGP/CIC/TSC via the same scheme-native support widths as
+ops/dense_pm.py (W = 1/2/3; reference maths mesh.py:2240-3089).
+"""
+
+from __future__ import annotations
+
+import sys
+from functools import partial
+
+import jax
+
+# Mosaic lowering of the nested-loop mega-kernels recurses deeply
+sys.setrecursionlimit(max(sys.getrecursionlimit(), 20000))
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dense_pm import _WIDTH, _axis_weights, _base_axis
+
+F32 = jnp.float32
+I32 = jnp.int32
+
+YB = 8  # y-block rows per tile
+P_DEP = 1024  # particles per deposit chunk
+P_GAT = 512  # particles per gather chunk
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _geometry(ncells_1d: int, scheme: str):
+    w = _WIDTH[scheme.casefold()]
+    wy = YB + w - 1
+    wy_pad = _round_up(wy, 8)  # Mosaic slice shapes must be tile-aligned
+    rows = w * wy_pad
+    wz = ncells_1d + w - 1
+    wz_pad = _round_up(wz, 128)
+    nby = ncells_1d // YB
+    ntiles = ncells_1d * nby
+    return w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles
+
+
+def sort_by_tile(position: jax.Array, ncells_1d: int, scheme: str, *payload):
+    """Sort particles by (x-plane, y-block) tile id; returns
+    (position, *payload, tile_starts)."""
+    m = ncells_1d
+    nby = m // YB
+    xs = position[:, 0] * F32(m)
+    ys = position[:, 1] * F32(m)
+    px = _base_axis(scheme, xs) % m
+    py = (_base_axis(scheme, ys) % m) // YB
+    key = px * nby + py
+    flat_payload = []
+    for arr in payload:
+        flat_payload.extend([arr[:, 0], arr[:, 1], arr[:, 2]])
+    sorted_ops = lax.sort(
+        (key, position[:, 0], position[:, 1], position[:, 2], *flat_payload),
+        num_keys=1,
+    )
+    key_s = sorted_ops[0]
+    pos_s = jnp.stack(sorted_ops[1:4], axis=1)
+    out_payload = tuple(
+        jnp.stack(sorted_ops[4 + 3 * i: 7 + 3 * i], axis=1)
+        for i in range(len(payload))
+    )
+    ntiles = m * nby
+    starts = jnp.searchsorted(
+        key_s, jnp.arange(ntiles + 1, dtype=I32), side="left"
+    ).astype(I32)
+    return (pos_s, *out_payload, starts)
+
+
+def _build_A(scheme, m, w, wy_pad, rows, pos_chunk, yb, valid):
+    """A (rows, P): one-hot of (x-slot, local-y) weight products.
+
+    pos_chunk is (3, P) raw positions in lane layout; yb is the tile's
+    y-block index (traced scalar).
+    """
+    xs = pos_chunk[0:1, :] * F32(m)
+    ys = pos_chunk[1:2, :] * F32(m)
+    bx = _base_axis(scheme, xs)
+    wx = _axis_weights(scheme, xs, bx)
+    by = _base_axis(scheme, ys)
+    wyw = _axis_weights(scheme, ys, by)
+    # wrap-free mod: by in [-1, m-1]; only by = -1 wraps (to m-1)
+    by_wrapped = jnp.where(by < 0, by + m, by)
+    ylocal = by_wrapped - yb * YB  # [0, YB) for this tile's particles
+    p = pos_chunk.shape[1]
+    row_ids = lax.broadcasted_iota(I32, (rows, p), 0)
+    a_mat = jnp.zeros((rows, p), F32)
+    for a in range(w):
+        for oy in range(w):
+            col = a * wy_pad + ylocal + oy  # (1, P)
+            wgt = wx[a] * wyw[oy] * valid  # (1, P)
+            a_mat = a_mat + jnp.where(row_ids == col, wgt, F32(0))
+    return a_mat
+
+
+# ---------------------------------------------------------------------------
+# Deposit
+# ---------------------------------------------------------------------------
+
+def _deposit_kernel(scheme: str, m: int):
+    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+
+    def kernel(starts_ref, pos_hbm, out_ref):
+        def run(pos_buf, win, sem_in, sem_out):
+            def tile_body(t, _):
+                start = starts_ref[t]
+                end = starts_ref[t + 1]
+                yb = lax.rem(t, jnp.int32(nby))
+                win[...] = jnp.zeros((rows, wz_pad), F32)
+                # DMA offsets must be provably lane-aligned: read from the
+                # 128-aligned floor of `start` and mask the head rows
+                start_al = lax.div(start, jnp.int32(128)) * jnp.int32(128)
+
+                def chunk_body(c, _):
+                    off = pl.multiple_of(start_al + c * P_DEP, 128)
+                    dma = pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, P_DEP)], pos_buf, sem_in
+                    )
+                    dma.start()
+                    dma.wait()
+                    chunk = pos_buf[...]
+                    gidx = off + lax.broadcasted_iota(I32, (1, P_DEP), 1)
+                    valid = jnp.where(
+                        (gidx >= start) & (gidx < end), F32(1), F32(0)
+                    )
+                    a_mat = _build_A(
+                        scheme, m, w, wy_pad, rows, chunk, yb, valid
+                    )
+                    zs = chunk[2:3, :] * F32(m)
+                    bz = _base_axis(scheme, zs)
+                    wzw = _axis_weights(scheme, zs, bz)
+                    zl = jnp.where(bz < 0, bz + m, bz)
+                    zrows = lax.broadcasted_iota(I32, (wz_pad, P_DEP), 0)
+                    wz_mat = jnp.zeros((wz_pad, P_DEP), F32)
+                    for oz in range(w):
+                        wz_mat = wz_mat + jnp.where(
+                            zrows == zl + oz, wzw[oz] * valid, F32(0)
+                        )
+                    win[...] = win[...] + lax.dot_general(
+                        a_mat, wz_mat, (((1,), (1,)), ((), ())),
+                        preferred_element_type=F32,
+                        precision=lax.Precision.HIGHEST,
+                    )
+                    return 0
+
+                n_chunks = lax.div(
+                    end - start_al + jnp.int32(P_DEP - 1), jnp.int32(P_DEP)
+                )
+                lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
+                out_dma = pltpu.make_async_copy(win, out_ref.at[t], sem_out)
+                out_dma.start()
+                out_dma.wait()
+                return 0
+
+            lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
+
+        pl.run_scoped(
+            run,
+            pos_buf=pltpu.VMEM((8, P_DEP), F32),
+            win=pltpu.VMEM((rows, wz_pad), F32),
+            sem_in=pltpu.SemaphoreType.DMA,
+            sem_out=pltpu.SemaphoreType.DMA,
+        )
+
+    return kernel
+
+
+def _combine_windows(windows, m: int, scheme: str):
+    """Overlap-add per-tile windows (T, rows, WZpad) into the (M,M,M) grid."""
+    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+    win = windows.reshape(m, nby, w, wy_pad, wz_pad)[..., :wy, :wz]
+    # fold z wrap: window z index maps to cell z mod m
+    grid_z = win[..., :m]
+    if w > 1:
+        grid_z = grid_z.at[..., : w - 1].add(win[..., m:])
+    # y: window row r is grid row (yb*YB + r) mod m; rows >= YB spill into
+    # the next block's low rows
+    out_y = grid_z[..., :YB, :]
+    for r in range(YB, wy):
+        # window row r of block b is global row b*YB + r -> block b+1,
+        # row r-YB; receiving block B gets the spill of block B-1
+        spill = grid_z[..., r, :]  # (m, nby, w, m)
+        out_y = out_y.at[..., r - YB, :].add(jnp.roll(spill, 1, axis=1))
+    # assemble y blocks: (m, nby, w, YB, m) -> (m, w, m, m)
+    out_y = out_y.transpose(0, 2, 1, 3, 4).reshape(m, w, m, m)
+    # x slots: slot a contributes to plane (i + a) mod m
+    grid = out_y[:, 0]
+    for a in range(1, w):
+        grid = grid + jnp.roll(out_y[:, a], a, axis=0)
+    return grid
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
+            interpret: bool = False) -> jax.Array:
+    """Deposit tile-sorted particles; returns the counts grid (M, M, M)."""
+    m = ncells_1d
+    scheme = scheme.casefold()
+    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+    npart = position_sorted.shape[0]
+    npad = _round_up(npart, P_DEP) + P_DEP
+    pos_t = jnp.full((8, npad), 2.0, F32)
+    pos_t = pos_t.at[:3, :npart].set(position_sorted.T)
+
+    windows = pl.pallas_call(
+        _deposit_kernel(scheme, m),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((ntiles, rows, wz_pad), F32),
+        interpret=interpret,
+    )(tile_starts, pos_t)
+    return _combine_windows(windows, m, scheme)
+
+
+# ---------------------------------------------------------------------------
+# Gather
+# ---------------------------------------------------------------------------
+
+def _gather_kernel(scheme: str, m: int, ncomp: int):
+    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+
+    def kernel(starts_ref, pos_hbm, zcol_hbm, fext_hbm, out_ref):
+        def run(pos_buf, zcol_buf, fwin, out_buf, sem_in, sem_z, sem_f,
+                sem_out):
+            def tile_body(t, _):
+                start = starts_ref[t]
+                count = starts_ref[t + 1] - start
+                yb = lax.rem(t, jnp.int32(nby))
+                plane = lax.div(t, jnp.int32(nby))
+                fdma = pltpu.make_async_copy(
+                    fext_hbm.at[:, pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                    fwin,
+                    sem_f,
+                )
+                fdma.start()
+                fdma.wait()
+
+                def chunk_body(c, _):
+                    off = start + c * P_GAT
+                    dma = pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, P_GAT)], pos_buf, sem_in
+                    )
+                    dma.start()
+                    zdma = pltpu.make_async_copy(
+                        zcol_hbm.at[pl.ds(off, P_GAT), :], zcol_buf, sem_z
+                    )
+                    zdma.start()
+                    dma.wait()
+                    zdma.wait()
+                    chunk = pos_buf[...]
+                    idx = lax.broadcasted_iota(I32, (1, P_GAT), 1)
+                    valid = jnp.where(
+                        idx < count - c * P_GAT, F32(1), F32(0)
+                    )
+                    a_mat = _build_A(
+                        scheme, m, w, wy_pad, rows, chunk, yb, valid
+                    )
+                    # sublane-layout z weights (P, WZpad)
+                    zs_sub = zcol_buf[...] * F32(m)  # (P, 1)
+                    bz = _base_axis(scheme, zs_sub)
+                    wzw = _axis_weights(scheme, zs_sub, bz)
+                    zl = jnp.where(bz < 0, bz + m, bz)
+                    zlanes = lax.broadcasted_iota(I32, (P_GAT, wz_pad), 1)
+                    wz_mat = jnp.zeros((P_GAT, wz_pad), F32)
+                    for oz in range(w):
+                        wz_mat = wz_mat + jnp.where(
+                            zlanes == zl + oz, wzw[oz], F32(0)
+                        )
+                    for comp in range(ncomp):
+                        fw = fwin[comp].reshape(rows, wz_pad)  # (w*wy_pad, wz_pad)
+                        t1 = lax.dot_general(
+                            a_mat, fw, (((0,), (0,)), ((), ())),
+                            preferred_element_type=F32,
+                            precision=lax.Precision.HIGHEST,
+                        )  # (P, WZpad)
+                        vals = jnp.sum(t1 * wz_mat, axis=1, keepdims=True)
+                        out_buf[:, comp:comp + 1] = vals
+                    odma = pltpu.make_async_copy(
+                        out_buf, out_ref.at[pl.ds(off, P_GAT), :], sem_out
+                    )
+                    odma.start()
+                    odma.wait()
+                    return 0
+
+                n_chunks = lax.div(
+                    count + jnp.int32(P_GAT - 1), jnp.int32(P_GAT)
+                )
+                lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
+                return 0
+
+            lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
+
+        pl.run_scoped(
+            run,
+            pos_buf=pltpu.VMEM((8, P_GAT), F32),
+            zcol_buf=pltpu.VMEM((P_GAT, 1), F32),
+            fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
+            out_buf=pltpu.VMEM((P_GAT, ncomp), F32),
+            sem_in=pltpu.SemaphoreType.DMA,
+            sem_z=pltpu.SemaphoreType.DMA,
+            sem_f=pltpu.SemaphoreType.DMA,
+            sem_out=pltpu.SemaphoreType.DMA,
+        )
+
+    return kernel
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def gather_vec(field, position_sorted, tile_starts, scheme: str,
+               interpret: bool = False) -> jax.Array:
+    """Interpolate (M, M, M, C) field at tile-sorted particles -> (N, C)."""
+    m = field.shape[0]
+    ncomp = field.shape[-1]
+    scheme = scheme.casefold()
+    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+    npart = position_sorted.shape[0]
+    npad = _round_up(npart, P_GAT) + P_GAT
+    pos_t = jnp.full((8, npad), 2.0, F32)
+    pos_t = pos_t.at[:3, :npart].set(position_sorted.T)
+    zcol = jnp.zeros((npad, 1), F32)
+    zcol = zcol.at[:npart, 0].set(position_sorted[:, 2])
+
+    # component-leading extended field: slot a of plane key reads plane
+    # (key + a) mod m; y rows yb*YB..+wy-1; z cells 0..wz-1 (wrap w-1)
+    fc = jnp.moveaxis(field, -1, 0)  # (C, M, M, M)
+    if w > 1:
+        fc = jnp.concatenate([fc, fc[:, : w - 1]], axis=1)
+        fc = jnp.concatenate([fc, fc[:, :, :, : w - 1]], axis=3)
+    # y: pad so every tile can read a wy_pad-row window
+    fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
+    fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - fc.shape[3])))
+
+    out = pl.pallas_call(
+        _gather_kernel(scheme, m, ncomp),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((npad, ncomp), F32),
+        interpret=interpret,
+    )(tile_starts, pos_t, zcol, fc)
+    return out[:npart]
+
+
+def plane_starts_from_tile_starts(tile_starts: jax.Array, ncells_1d: int):
+    """Tile keys are plane-major, so plane boundaries are a stride view."""
+    nby = ncells_1d // YB
+    return tile_starts[::nby].astype(I32)

@@ -263,6 +263,37 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
     """
     n = cfg.ncells_1d
     norm = F32(n ** 3 / cfg.npart)
+    if cfg.particle_engine == "pallas":
+        # tile-sorted Pallas deposition (ops/pallas_pm.py); interpolation
+        # uses the dense plane engine off the same (plane-major) sort
+        from .ops import pallas_pm
+
+        if velocity is None:
+            position, tstarts = pallas_pm.sort_by_tile(
+                position, n, cfg.mass_scheme
+            )
+        else:
+            position, velocity, tstarts = pallas_pm.sort_by_tile(
+                position, n, cfg.mass_scheme, velocity
+            )
+        interpret = jax.default_backend() == "cpu"
+        density = pallas_pm.deposit(
+            position, tstarts, n, cfg.mass_scheme, interpret
+        )
+        if n ** 3 != cfg.npart:
+            density = density * norm
+        force, potential, u, pk = _solve_fields(
+            cfg, first_call, save_pk, density, potential, u, dyn
+        )
+        pstarts = pallas_pm.plane_starts_from_tile_starts(tstarts, n)
+        acceleration = dense_pm.gather_vec(
+            force, position, pstarts, cfg.mass_scheme
+        )
+        # the Pallas deposit has no capacity limit; the dense gather does
+        counts = pstarts[1:] - pstarts[:-1]
+        cap = dense_pm._capacity(position.shape[0], n)
+        overflow = jnp.sum(jnp.maximum(counts - cap, 0))
+        return position, velocity, acceleration, potential, u, pk, overflow
     if cfg.particle_engine == "dense":
         if velocity is None:
             position, starts = dense_pm.sort_by_plane(
