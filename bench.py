@@ -49,7 +49,7 @@ def bench_tpu() -> float:
     pos, vel = _rand_state(NPART)
     pos, vel = jnp.asarray(pos), jnp.asarray(vel)
     phi, u = solver_mod.empty_fields(cfg)
-    pos, vel, acc, phi, u, _, _ = solver_mod.pm(
+    pos, vel, _, acc, phi, u, _, _ = solver_mod.pm(
         cfg, True, False, pos, vel, phi, u, dyn
     )
     float(jnp.sum(acc))

@@ -39,35 +39,47 @@ def _diagnostics(acc, vel, u, overflow) -> StepDiagnostics:
     )
 
 
+def _drift_wrap(position, velocity, dt, flags):
+    position = mesh.periodic_wrap(position + velocity * dt)
+    if flags is not None:
+        # pin alignment-pad rows at their sentinel position
+        position = jnp.where(flags[:, None] > 0, position, F32(2.0))
+    return position
+
+
 def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
               save_pk: bool, position, velocity, acceleration, potential, u,
-              dyn: DynScalars, dt):
-    """One full integration step; returns the new state + diagnostics."""
+              dyn: DynScalars, dt, flags=None):
+    """One full integration step; returns the new state + diagnostics.
+
+    ``flags`` marks real vs alignment-pad particle rows for the padded
+    (pallas) engine; None otherwise.
+    """
     dt = F32(dt)
     if integrator == "leapfrog":
         half_dt = F32(0.5) * dt
         velocity = velocity - acceleration * half_dt
-        position = mesh.periodic_wrap(position + velocity * dt)
-        position, velocity, acceleration, potential, u, pk, overflow = (
-            solver_mod._pm_impl(
-                cfg, first_call, save_pk, position, velocity, potential, u, dyn
-            )
+        position = _drift_wrap(position, velocity, dt, flags)
+        (position, velocity, flags, acceleration, potential, u, pk,
+         overflow) = solver_mod._pm_impl(
+            cfg, first_call, save_pk, position, velocity, flags, potential,
+            u, dyn
         )
         velocity = velocity - acceleration * half_dt
     elif integrator == "euler":
-        position = mesh.periodic_wrap(position + velocity * dt)
+        position = _drift_wrap(position, velocity, dt, flags)
         velocity = velocity - acceleration * dt
-        position, velocity, acceleration, potential, u, pk, overflow = (
-            solver_mod._pm_impl(
-                cfg, first_call, save_pk, position, velocity, potential, u, dyn
-            )
+        (position, velocity, flags, acceleration, potential, u, pk,
+         overflow) = solver_mod._pm_impl(
+            cfg, first_call, save_pk, position, velocity, flags, potential,
+            u, dyn
         )
     else:
         raise NotImplementedError(
             f"integrator {integrator!r}, must be 'leapfrog' or 'euler'"
         )
     diag = _diagnostics(acceleration, velocity, u, overflow)
-    return position, velocity, acceleration, potential, u, pk, diag
+    return position, velocity, acceleration, potential, u, pk, diag, flags
 
 
 step = partial(jax.jit, static_argnums=(0, 1, 2, 3))(step_impl)

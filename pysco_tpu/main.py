@@ -99,8 +99,10 @@ def run(param) -> None:
     logging.warning("----- Run N-body -----")
     dyn = solver_mod.compute_dynamics(param)
     save_pk_first = pk_mode == "yes"
-    position, velocity, acceleration, potential, u, pk, _ = solver_mod.pm(
-        cfg, True, save_pk_first, position, velocity, potential, u, dyn
+    (position, velocity, flags, acceleration, potential, u, pk, _) = (
+        solver_mod.pm(
+            cfg, True, save_pk_first, position, velocity, potential, u, dyn
+        )
     )
     if save_pk_first:
         _write_pk(pk, param)
@@ -151,11 +153,11 @@ def run(param) -> None:
         save_pk = pk_mode == "yes" or (
             pk_mode == "z_out" and param["write_snapshot"]
         )
-        (position, velocity, acceleration, potential, u, pk, diag) = (
+        (position, velocity, acceleration, potential, u, pk, diag, flags) = (
             integration.step(
                 cfg, integrator, first_call, save_pk,
                 position, velocity, acceleration, potential, u, dyn,
-                np.float32(dt),
+                np.float32(dt), flags,
             )
         )
         if save_pk:
@@ -175,15 +177,19 @@ def run(param) -> None:
                 float(diag.mean_additional),
             )
 
-        if param["nsteps"] % int(param["n_reorder"]) == 0:
+        if (param["nsteps"] % int(param["n_reorder"]) == 0
+                and cfg.particle_engine not in ("dense", "pallas")):
+            # dense/pallas engines re-sort every force evaluation already
             logging.info("Reordering particles")
             position, velocity, acceleration = mesh_ops.reorder_particles(
                 position, velocity, acceleration
             )
         if param["write_snapshot"]:
-            iostream.write_snapshot_particles(
-                np.asarray(position), np.asarray(velocity), param
-            )
+            pos_np, vel_np = np.asarray(position), np.asarray(velocity)
+            if flags is not None:
+                real = np.asarray(flags) > 0
+                pos_np, vel_np = pos_np[real], vel_np[real]
+            iostream.write_snapshot_particles(pos_np, vel_np, param)
             param["i_snap"] = int(param["i_snap"]) + 1
         logging.warning(
             "nsteps=%d aexp=%.6f z=%.4f",

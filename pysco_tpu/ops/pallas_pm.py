@@ -48,8 +48,9 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 YB = 8  # y-block rows per tile
-P_DEP = 1024  # particles per deposit chunk
-P_GAT = 512  # particles per gather chunk
+Q = 512  # padded-layout quantum: every tile's particle range is a multiple
+P_DEP = 512  # particles per deposit chunk (== Q so chunk offsets align)
+P_GAT = 512  # particles per gather chunk (== Q)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -98,6 +99,75 @@ def sort_by_tile(position: jax.Array, ncells_1d: int, scheme: str, *payload):
     return (pos_s, *out_payload, starts)
 
 
+def padded_size(npart: int, ncells_1d: int) -> int:
+    """Static row count of the persistently padded particle state."""
+    nby = ncells_1d // YB
+    return npart + ncells_1d * nby * Q
+
+
+def sort_by_tile_padded(position, flags, ncells_1d: int, scheme: str,
+                        *payload):
+    """Tile sort with per-tile alignment padding.
+
+    ``position`` has ``padded_size`` rows; ``flags`` is 1.0 on real rows and
+    0.0 on pad rows (pad positions/payload are ignored). Two sorts: the
+    first groups real particles by tile (pads at the end), the second
+    re-keys just enough pads into each tile that every tile's padded count
+    is a multiple of Q -- so every tile range is Q-aligned and the Pallas
+    kernels need no masked or unaligned DMA at all.
+
+    Returns (position, flags, *payload, tile_starts) where
+    tile_starts[0..T] are all multiples of Q.
+    """
+    m = ncells_1d
+    nby = m // YB
+    ntiles = m * nby
+    ntot = position.shape[0]
+    xs = position[:, 0] * F32(m)
+    ys = position[:, 1] * F32(m)
+    px = _base_axis(scheme, xs) % m
+    py = (_base_axis(scheme, ys) % m) // YB
+    keys_real = (px * nby + py).astype(I32)
+    keys = jnp.where(flags > 0, keys_real, jnp.int32(ntiles))
+
+    flat_payload = []
+    for arr in payload:
+        flat_payload.extend([arr[:, 0], arr[:, 1], arr[:, 2]])
+    ops1 = lax.sort(
+        (keys, flags, position[:, 0], position[:, 1], position[:, 2],
+         *flat_payload),
+        num_keys=1,
+    )
+    keys1 = ops1[0]
+    starts1 = jnp.searchsorted(
+        keys1, jnp.arange(ntiles + 1, dtype=I32), side="left"
+    ).astype(I32)
+    counts = starts1[1:] - starts1[:-1]
+    pad_t = (-counts) % Q
+    cum_pad = jnp.cumsum(pad_t).astype(I32)
+    # real rows always occupy the first nreal rows after sort 1 (pads are
+    # keyed to the end); pad of rank r joins the first tile t with
+    # cum_pad[t] > r (leftovers keep key T). method='sort' keeps this
+    # O((n+T) log) instead of the default per-query scan.
+    nreal = ntot - ntiles * Q
+    rank = jnp.arange(ntiles * Q, dtype=I32)
+    pad_keys = jnp.searchsorted(
+        cum_pad, rank, side="right", method="sort"
+    ).astype(I32)
+    keys2 = jnp.concatenate([keys1[:nreal], pad_keys])
+    ops2 = lax.sort((keys2, *ops1[1:]), num_keys=1)
+    flags_s = ops2[1]
+    pos_s = jnp.stack(ops2[2:5], axis=1)
+    out_payload = tuple(
+        jnp.stack(ops2[5 + 3 * i: 8 + 3 * i], axis=1)
+        for i in range(len(payload))
+    )
+    starts2 = jnp.searchsorted(
+        ops2[0], jnp.arange(ntiles + 1, dtype=I32), side="left"
+    ).astype(I32)
+    return (pos_s, flags_s, *out_payload, starts2)
+
+
 def _build_A(scheme, m, w, wy_pad, rows, pos_chunk, yb, valid):
     """A (rows, P): one-hot of (x-slot, local-y) weight products.
 
@@ -138,22 +208,17 @@ def _deposit_kernel(scheme: str, m: int):
                 end = starts_ref[t + 1]
                 yb = lax.rem(t, jnp.int32(nby))
                 win[...] = jnp.zeros((rows, wz_pad), F32)
-                # DMA offsets must be provably lane-aligned: read from the
-                # 128-aligned floor of `start` and mask the head rows
-                start_al = lax.div(start, jnp.int32(128)) * jnp.int32(128)
 
                 def chunk_body(c, _):
-                    off = pl.multiple_of(start_al + c * P_DEP, 128)
+                    # tile ranges are Q-aligned by construction
+                    off = pl.multiple_of(start + c * P_DEP, Q)
                     dma = pltpu.make_async_copy(
                         pos_hbm.at[:, pl.ds(off, P_DEP)], pos_buf, sem_in
                     )
                     dma.start()
                     dma.wait()
                     chunk = pos_buf[...]
-                    gidx = off + lax.broadcasted_iota(I32, (1, P_DEP), 1)
-                    valid = jnp.where(
-                        (gidx >= start) & (gidx < end), F32(1), F32(0)
-                    )
+                    valid = chunk[3:4, :]  # flag row: 1 real, 0 pad
                     a_mat = _build_A(
                         scheme, m, w, wy_pad, rows, chunk, yb, valid
                     )
@@ -174,9 +239,7 @@ def _deposit_kernel(scheme: str, m: int):
                     )
                     return 0
 
-                n_chunks = lax.div(
-                    end - start_al + jnp.int32(P_DEP - 1), jnp.int32(P_DEP)
-                )
+                n_chunks = lax.div(end - start, jnp.int32(P_DEP))
                 lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
                 out_dma = pltpu.make_async_copy(win, out_ref.at[t], sem_out)
                 out_dma.start()
@@ -221,17 +284,22 @@ def _combine_windows(windows, m: int, scheme: str):
     return grid
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def deposit(position_sorted, flags, tile_starts, ncells_1d: int, scheme: str,
             interpret: bool = False) -> jax.Array:
-    """Deposit tile-sorted particles; returns the counts grid (M, M, M)."""
+    """Deposit padded-tile-sorted particles; returns the counts grid.
+
+    ``position_sorted``/``flags`` come from :func:`sort_by_tile_padded`
+    (every tile range a multiple of Q, pads flagged 0).
+    """
     m = ncells_1d
     scheme = scheme.casefold()
     w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    npart = position_sorted.shape[0]
-    npad = _round_up(npart, P_DEP) + P_DEP
+    ntot = position_sorted.shape[0]
+    npad = _round_up(ntot, P_DEP)
     pos_t = jnp.full((8, npad), 2.0, F32)
-    pos_t = pos_t.at[:3, :npart].set(position_sorted.T)
+    pos_t = pos_t.at[:3, :ntot].set(position_sorted.T)
+    pos_t = pos_t.at[3, :ntot].set(flags)
 
     windows = pl.pallas_call(
         _deposit_kernel(scheme, m),
@@ -253,12 +321,11 @@ def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
 def _gather_kernel(scheme: str, m: int, ncomp: int):
     w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
 
-    def kernel(starts_ref, pos_hbm, zcol_hbm, fext_hbm, out_ref):
-        def run(pos_buf, zcol_buf, fwin, out_buf, sem_in, sem_z, sem_f,
-                sem_out):
+    def kernel(starts_ref, pos_hbm, fext_hbm, out_ref):
+        def run(pos_buf, fwin, out_buf, sem_in, sem_f, sem_out):
             def tile_body(t, _):
                 start = starts_ref[t]
-                count = starts_ref[t + 1] - start
+                end = starts_ref[t + 1]
                 yb = lax.rem(t, jnp.int32(nby))
                 plane = lax.div(t, jnp.int32(nby))
                 fdma = pltpu.make_async_copy(
@@ -270,55 +337,48 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
                 fdma.wait()
 
                 def chunk_body(c, _):
-                    off = start + c * P_GAT
+                    off = pl.multiple_of(start + c * P_GAT, Q)
                     dma = pltpu.make_async_copy(
                         pos_hbm.at[:, pl.ds(off, P_GAT)], pos_buf, sem_in
                     )
                     dma.start()
-                    zdma = pltpu.make_async_copy(
-                        zcol_hbm.at[pl.ds(off, P_GAT), :], zcol_buf, sem_z
-                    )
-                    zdma.start()
                     dma.wait()
-                    zdma.wait()
                     chunk = pos_buf[...]
-                    idx = lax.broadcasted_iota(I32, (1, P_GAT), 1)
-                    valid = jnp.where(
-                        idx < count - c * P_GAT, F32(1), F32(0)
-                    )
+                    valid = chunk[3:4, :]  # flag row
                     a_mat = _build_A(
                         scheme, m, w, wy_pad, rows, chunk, yb, valid
                     )
-                    # sublane-layout z weights (P, WZpad)
-                    zs_sub = zcol_buf[...] * F32(m)  # (P, 1)
-                    bz = _base_axis(scheme, zs_sub)
-                    wzw = _axis_weights(scheme, zs_sub, bz)
+                    # lane-layout z one-hot weights (WZpad, P)
+                    zs = chunk[2:3, :] * F32(m)
+                    bz = _base_axis(scheme, zs)
+                    wzw = _axis_weights(scheme, zs, bz)
                     zl = jnp.where(bz < 0, bz + m, bz)
-                    zlanes = lax.broadcasted_iota(I32, (P_GAT, wz_pad), 1)
-                    wz_mat = jnp.zeros((P_GAT, wz_pad), F32)
+                    zrows = lax.broadcasted_iota(I32, (wz_pad, P_GAT), 0)
+                    wz_mat = jnp.zeros((wz_pad, P_GAT), F32)
                     for oz in range(w):
                         wz_mat = wz_mat + jnp.where(
-                            zlanes == zl + oz, wzw[oz], F32(0)
+                            zrows == zl + oz, wzw[oz], F32(0)
                         )
                     for comp in range(ncomp):
-                        fw = fwin[comp].reshape(rows, wz_pad)  # (w*wy_pad, wz_pad)
-                        t1 = lax.dot_general(
-                            a_mat, fw, (((0,), (0,)), ((), ())),
+                        fw = fwin[comp].reshape(rows, wz_pad)
+                        # (WZpad, P) = window^T-contraction with A
+                        t1t = lax.dot_general(
+                            fw, a_mat, (((0,), (0,)), ((), ())),
                             preferred_element_type=F32,
                             precision=lax.Precision.HIGHEST,
-                        )  # (P, WZpad)
-                        vals = jnp.sum(t1 * wz_mat, axis=1, keepdims=True)
-                        out_buf[:, comp:comp + 1] = vals
+                        )
+                        vals = jnp.sum(
+                            t1t * wz_mat, axis=0, keepdims=True
+                        )  # (1, P)
+                        out_buf[comp:comp + 1, :] = vals
                     odma = pltpu.make_async_copy(
-                        out_buf, out_ref.at[pl.ds(off, P_GAT), :], sem_out
+                        out_buf, out_ref.at[:, pl.ds(off, P_GAT)], sem_out
                     )
                     odma.start()
                     odma.wait()
                     return 0
 
-                n_chunks = lax.div(
-                    count + jnp.int32(P_GAT - 1), jnp.int32(P_GAT)
-                )
+                n_chunks = lax.div(end - start, jnp.int32(P_GAT))
                 lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
                 return 0
 
@@ -327,11 +387,9 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
         pl.run_scoped(
             run,
             pos_buf=pltpu.VMEM((8, P_GAT), F32),
-            zcol_buf=pltpu.VMEM((P_GAT, 1), F32),
             fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
-            out_buf=pltpu.VMEM((P_GAT, ncomp), F32),
+            out_buf=pltpu.VMEM((8, P_GAT), F32),
             sem_in=pltpu.SemaphoreType.DMA,
-            sem_z=pltpu.SemaphoreType.DMA,
             sem_f=pltpu.SemaphoreType.DMA,
             sem_out=pltpu.SemaphoreType.DMA,
         )
@@ -339,28 +397,30 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def gather_vec(field, position_sorted, tile_starts, scheme: str,
+@partial(jax.jit, static_argnums=(4, 5))
+def gather_vec(field, position_sorted, flags, tile_starts, scheme: str,
                interpret: bool = False) -> jax.Array:
-    """Interpolate (M, M, M, C) field at tile-sorted particles -> (N, C)."""
+    """Interpolate an (M, M, M, C) field at padded-tile-sorted particles.
+
+    Returns (Ntot, C) values aligned with the sorted rows; pad rows are
+    zeroed via their flags.
+    """
     m = field.shape[0]
     ncomp = field.shape[-1]
     scheme = scheme.casefold()
     w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    npart = position_sorted.shape[0]
-    npad = _round_up(npart, P_GAT) + P_GAT
+    ntot = position_sorted.shape[0]
+    npad = _round_up(ntot, P_GAT)
     pos_t = jnp.full((8, npad), 2.0, F32)
-    pos_t = pos_t.at[:3, :npart].set(position_sorted.T)
-    zcol = jnp.zeros((npad, 1), F32)
-    zcol = zcol.at[:npart, 0].set(position_sorted[:, 2])
+    pos_t = pos_t.at[:3, :ntot].set(position_sorted.T)
+    pos_t = pos_t.at[3, :ntot].set(flags)
 
     # component-leading extended field: slot a of plane key reads plane
-    # (key + a) mod m; y rows yb*YB..+wy-1; z cells 0..wz-1 (wrap w-1)
+    # (key + a) mod m; y rows yb*YB..+wy_pad-1; z cells 0..wz-1
     fc = jnp.moveaxis(field, -1, 0)  # (C, M, M, M)
     if w > 1:
         fc = jnp.concatenate([fc, fc[:, : w - 1]], axis=1)
         fc = jnp.concatenate([fc, fc[:, :, :, : w - 1]], axis=3)
-    # y: pad so every tile can read a wy_pad-row window
     fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
     fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - fc.shape[3])))
 
@@ -370,13 +430,15 @@ def gather_vec(field, position_sorted, tile_starts, scheme: str,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((npad, ncomp), F32),
+        out_shape=jax.ShapeDtypeStruct((8, npad), F32),
         interpret=interpret,
-    )(tile_starts, pos_t, zcol, fc)
-    return out[:npart]
+    )(tile_starts, pos_t, fc)
+    vals = out[:ncomp, :ntot].T
+    # leftover pad rows beyond the last tile are never written
+    # (uninitialised); select instead of multiply so NaNs cannot leak
+    return jnp.where(flags[:, None] > 0, vals, F32(0))
 
 
 def plane_starts_from_tile_starts(tile_starts: jax.Array, ncells_1d: int):

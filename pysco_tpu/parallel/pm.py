@@ -51,7 +51,8 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
     """
     n = cfg.ncells_1d
     norm = F32(n ** 3 / cfg.npart)
-    if cfg.particle_engine == "dense":
+    # the padded pallas engine is single-device for now; shards use dense
+    if cfg.particle_engine in ("dense", "pallas"):
         position, velocity, starts = dense_pm.sort_by_plane(
             position, n, cfg.mass_scheme, velocity
         )
@@ -66,7 +67,7 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
     force, potential, u, _ = solver_mod._solve_fields(
         cfg, first_call, False, density, potential, u, dyn
     )
-    if cfg.particle_engine == "dense":
+    if cfg.particle_engine in ("dense", "pallas"):
         acc = dense_pm.gather_vec(force, position, starts, cfg.mass_scheme)
     else:
         acc = mesh_ops.gather_vec(force, position, cfg.mass_scheme)

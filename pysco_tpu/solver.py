@@ -254,46 +254,57 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
 
 
 def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
-             position, velocity, potential, u, dyn: DynScalars):
+             position, velocity, flags, potential, u, dyn: DynScalars):
     """Full PM force evaluation.
 
-    Returns (position, velocity, acceleration, potential, u, pk, overflow).
-    With the dense engine the particle arrays come back plane-sorted
-    (velocity rides along in the sort; particle identity is irrelevant).
+    Returns (position, velocity, flags, acceleration, potential, u, pk,
+    overflow). With the dense/pallas engines the particle arrays come back
+    tile-sorted (velocity rides along in the sort; particle identity is
+    irrelevant). The pallas engine keeps the state *persistently padded*
+    (ops/pallas_pm.py): ``flags`` marks real rows (1.0) vs alignment pads
+    (0.0); other engines pass flags through as None.
     """
     n = cfg.ncells_1d
     norm = F32(n ** 3 / cfg.npart)
     if cfg.particle_engine == "pallas":
-        # tile-sorted Pallas deposition (ops/pallas_pm.py); interpolation
-        # uses the dense plane engine off the same (plane-major) sort
         from .ops import pallas_pm
 
+        interpret = jax.default_backend() == "cpu"
+        if first_call:
+            # create the persistently padded state
+            extra = pallas_pm.padded_size(cfg.npart, n) - position.shape[0]
+            position = jnp.concatenate(
+                [position, jnp.full((extra, 3), 2.0, F32)]
+            )
+            flags = jnp.concatenate(
+                [jnp.ones(cfg.npart, F32), jnp.zeros(extra, F32)]
+            )
+            if velocity is not None:
+                velocity = jnp.concatenate(
+                    [velocity, jnp.zeros((extra, 3), F32)]
+                )
         if velocity is None:
-            position, tstarts = pallas_pm.sort_by_tile(
-                position, n, cfg.mass_scheme
+            position, flags, tstarts = pallas_pm.sort_by_tile_padded(
+                position, flags, n, cfg.mass_scheme
             )
         else:
-            position, velocity, tstarts = pallas_pm.sort_by_tile(
-                position, n, cfg.mass_scheme, velocity
+            position, flags, velocity, tstarts = pallas_pm.sort_by_tile_padded(
+                position, flags, n, cfg.mass_scheme, velocity
             )
-        interpret = jax.default_backend() == "cpu"
         density = pallas_pm.deposit(
-            position, tstarts, n, cfg.mass_scheme, interpret
+            position, flags, tstarts, n, cfg.mass_scheme, interpret
         )
         if n ** 3 != cfg.npart:
             density = density * norm
         force, potential, u, pk = _solve_fields(
             cfg, first_call, save_pk, density, potential, u, dyn
         )
-        pstarts = pallas_pm.plane_starts_from_tile_starts(tstarts, n)
-        acceleration = dense_pm.gather_vec(
-            force, position, pstarts, cfg.mass_scheme
+        acceleration = pallas_pm.gather_vec(
+            force, position, flags, tstarts, cfg.mass_scheme, interpret
         )
-        # the Pallas deposit has no capacity limit; the dense gather does
-        counts = pstarts[1:] - pstarts[:-1]
-        cap = dense_pm._capacity(position.shape[0], n)
-        overflow = jnp.sum(jnp.maximum(counts - cap, 0))
-        return position, velocity, acceleration, potential, u, pk, overflow
+        overflow = jnp.int32(0)  # padded layout cannot overflow
+        return (position, velocity, flags, acceleration, potential, u, pk,
+                overflow)
     if cfg.particle_engine == "dense":
         if velocity is None:
             position, starts = dense_pm.sort_by_plane(
@@ -323,7 +334,8 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
         )
         acceleration = mesh.gather_vec(force, position, cfg.mass_scheme)
         overflow = jnp.int32(0)
-    return position, velocity, acceleration, potential, u, pk, overflow
+    return (position, velocity, flags, acceleration, potential, u, pk,
+            overflow)
 
 
 def _solve_fields(cfg: SolverConfig, first_call: bool, save_pk: bool,
@@ -406,15 +418,18 @@ def force_3d(rhs, param):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
-       position, velocity, potential, u, dyn: DynScalars):
+       position, velocity, potential, u, dyn: DynScalars, flags=None):
     """Compute PM acceleration.
 
-    Returns (position, velocity, acceleration, potential, additional, pk,
-    overflow); positions/velocities may come back reordered (dense engine
-    sorts particles by plane; velocity rides along).
+    Returns (position, velocity, flags, acceleration, potential,
+    additional, pk, overflow); particle arrays may come back reordered
+    (the dense/pallas engines sort them; velocity rides along). ``flags``
+    marks real vs alignment-pad rows for the pallas engine (None
+    otherwise).
     """
     return _pm_impl(
-        cfg, first_call, save_pk, position, velocity, potential, u, dyn
+        cfg, first_call, save_pk, position, velocity, flags, potential, u,
+        dyn
     )
 
 

@@ -92,7 +92,7 @@ def test_pm_newton_fft_matches_float64_oracle(scheme):
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     phi0, u0 = solver_mod.empty_fields(cfg)
-    pos_out, _, acc, _, _, _, overflow = solver_mod.pm(
+    pos_out, _, _, acc, _, _, _, overflow = solver_mod.pm(
         cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
     )
     assert int(overflow) == 0
@@ -124,7 +124,7 @@ def test_pm_multigrid_matches_fft7pt():
         cfg = solver_mod.config_from_param(param)
         dyn = solver_mod.compute_dynamics(param)
         phi0, u0 = solver_mod.empty_fields(cfg)
-        _, _, acc, _, _, _, _ = solver_mod.pm(
+        _, _, _, acc, _, _, _, _ = solver_mod.pm(
             cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
         )
         accs[solver_name] = np.array(acc)
