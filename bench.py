@@ -43,13 +43,14 @@ def bench_tpu() -> float:
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
         "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
         "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
+        "particle_engine": "pallas",
     }
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     pos, vel = _rand_state(NPART)
     pos, vel = jnp.asarray(pos), jnp.asarray(vel)
     phi, u = solver_mod.empty_fields(cfg)
-    pos, vel, _, acc, phi, u, _, _ = solver_mod.pm(
+    pos, vel, flags, acc, phi, u, _, _ = solver_mod.pm(
         cfg, True, False, pos, vel, phi, u, dyn
     )
     float(jnp.sum(acc))
@@ -62,13 +63,15 @@ def bench_tpu() -> float:
     dt = np.float32(1e-3)
     state = (pos, vel, acc, phi, u)
     for _ in range(WARMUP):
-        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt)
-        state = out[:5]
+        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt,
+                             flags)
+        state, flags = out[:5], out[7]
     sync(state)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt)
-        state = out[:5]
+        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt,
+                             flags)
+        state, flags = out[:5], out[7]
     sync(state)
     elapsed = time.perf_counter() - t0
     return ITERS / elapsed

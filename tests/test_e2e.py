@@ -115,6 +115,10 @@ def _check_outputs(param):
                           "linear_newton_solver": "fft"}),
         ("parquet_output", {"output_snapshot_format": "parquet",
                             "linear_newton_solver": "fft"}),
+        ("pallas_engine", {"particle_engine": "pallas",
+                           "linear_newton_solver": "fft"}),
+        ("scatter_engine", {"particle_engine": "scatter",
+                            "linear_newton_solver": "fft"}),
     ],
 )
 def test_full_run(tmp_path, name, overrides):
