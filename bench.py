@@ -63,14 +63,16 @@ def bench_tpu() -> float:
     dt = np.float32(1e-3)
     state = (pos, vel, acc, phi, u)
     for _ in range(WARMUP):
-        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt,
-                             flags)
+        out = integrate.step_donated(
+            cfg, "leapfrog", False, False, *state, dyn, dt, flags
+        )
         state, flags = out[:5], out[7]
     sync(state)
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt,
-                             flags)
+        out = integrate.step_donated(
+            cfg, "leapfrog", False, False, *state, dyn, dt, flags
+        )
         state, flags = out[:5], out[7]
     sync(state)
     elapsed = time.perf_counter() - t0

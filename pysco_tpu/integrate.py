@@ -84,6 +84,15 @@ def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
 
 step = partial(jax.jit, static_argnums=(0, 1, 2, 3))(step_impl)
 
+# Production variant: donates the particle/field state so XLA reuses the
+# old buffers in place (the run loop never touches pre-step state again).
+# Positional args: 4=position 5=velocity 6=acceleration 7=potential 8=u
+# 11=flags.
+step_donated = partial(
+    jax.jit, static_argnums=(0, 1, 2, 3),
+    donate_argnums=(4, 5, 6, 7, 8, 11),
+)(step_impl)
+
 
 def compute_dt(param, tables, max_abs_acc: float, max_abs_vel: float):
     """Host-side adaptive dt: min of the acceleration CFL, velocity CFL and

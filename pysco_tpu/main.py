@@ -100,7 +100,7 @@ def run(param) -> None:
     dyn = solver_mod.compute_dynamics(param)
     save_pk_first = pk_mode == "yes"
     (position, velocity, flags, acceleration, potential, u, pk, _) = (
-        solver_mod.pm(
+        solver_mod.pm_donated(
             cfg, True, save_pk_first, position, velocity, potential, u, dyn
         )
     )
@@ -154,7 +154,7 @@ def run(param) -> None:
             pk_mode == "z_out" and param["write_snapshot"]
         )
         (position, velocity, acceleration, potential, u, pk, diag, flags) = (
-            integration.step(
+            integration.step_donated(
                 cfg, integrator, first_call, save_pk,
                 position, velocity, acceleration, potential, u, dyn,
                 np.float32(dt), flags,

@@ -114,7 +114,9 @@ def sort_by_tile_padded(position, flags, ncells_1d: int, scheme: str,
     first groups real particles by tile (pads at the end), the second
     re-keys just enough pads into each tile that every tile's padded count
     is a multiple of Q -- so every tile range is Q-aligned and the Pallas
-    kernels need no masked or unaligned DMA at all.
+    kernels need no masked or unaligned DMA at all. The real/pad flag rides
+    as the low key bit (reals sort before pads within a tile), saving a
+    sort operand.
 
     Returns (position, flags, *payload, tile_starts) where
     tile_starts[0..T] are all multiples of Q.
@@ -128,44 +130,60 @@ def sort_by_tile_padded(position, flags, ncells_1d: int, scheme: str,
     px = _base_axis(scheme, xs) % m
     py = (_base_axis(scheme, ys) % m) // YB
     keys_real = (px * nby + py).astype(I32)
-    keys = jnp.where(flags > 0, keys_real, jnp.int32(ntiles))
+    keys = jnp.where(
+        flags > 0, keys_real * 2, jnp.int32(2 * ntiles + 1)
+    )
 
     flat_payload = []
     for arr in payload:
         flat_payload.extend([arr[:, 0], arr[:, 1], arr[:, 2]])
     ops1 = lax.sort(
-        (keys, flags, position[:, 0], position[:, 1], position[:, 2],
+        (keys, position[:, 0], position[:, 1], position[:, 2],
          *flat_payload),
         num_keys=1,
     )
     keys1 = ops1[0]
     starts1 = jnp.searchsorted(
-        keys1, jnp.arange(ntiles + 1, dtype=I32), side="left"
+        keys1, jnp.arange(ntiles + 1, dtype=I32) * 2, side="left"
     ).astype(I32)
     counts = starts1[1:] - starts1[:-1]
     pad_t = (-counts) % Q
     cum_pad = jnp.cumsum(pad_t).astype(I32)
-    # real rows always occupy the first nreal rows after sort 1 (pads are
-    # keyed to the end); pad of rank r joins the first tile t with
-    # cum_pad[t] > r (leftovers keep key T). method='sort' keeps this
-    # O((n+T) log) instead of the default per-query scan.
+    # real rows always occupy the first nreal rows after sort 1; pad of
+    # rank r joins the first tile t with cum_pad[t] > r (leftovers keep
+    # key 2T+1). method='sort' keeps this O((n+T) log) instead of the
+    # default per-query scan.
     nreal = ntot - ntiles * Q
     rank = jnp.arange(ntiles * Q, dtype=I32)
     pad_keys = jnp.searchsorted(
         cum_pad, rank, side="right", method="sort"
-    ).astype(I32)
+    ).astype(I32) * 2 + 1
     keys2 = jnp.concatenate([keys1[:nreal], pad_keys])
     ops2 = lax.sort((keys2, *ops1[1:]), num_keys=1)
-    flags_s = ops2[1]
-    pos_s = jnp.stack(ops2[2:5], axis=1)
+    flags_s = jnp.where((ops2[0] & 1) == 0, F32(1), F32(0))
+    pos_s = jnp.stack(ops2[1:4], axis=1)
     out_payload = tuple(
-        jnp.stack(ops2[5 + 3 * i: 8 + 3 * i], axis=1)
+        jnp.stack(ops2[4 + 3 * i: 7 + 3 * i], axis=1)
         for i in range(len(payload))
     )
     starts2 = jnp.searchsorted(
-        ops2[0], jnp.arange(ntiles + 1, dtype=I32), side="left"
+        ops2[0], jnp.arange(ntiles + 1, dtype=I32) * 2, side="left"
     ).astype(I32)
     return (pos_s, flags_s, *out_payload, starts2)
+
+
+def pack_particles(position_sorted, flags, chunk: int = Q):
+    """Lane-layout packed particle array (4, Npad): rows x, y, z, flag.
+
+    Built once per force evaluation and shared by the deposit and gather
+    kernels.
+    """
+    ntot = position_sorted.shape[0]
+    npad = _round_up(ntot, chunk)
+    pos_t = jnp.full((4, npad), 2.0, F32)
+    pos_t = pos_t.at[:3, :ntot].set(position_sorted.T)
+    pos_t = pos_t.at[3, :ntot].set(flags)
+    return pos_t
 
 
 def _build_A(scheme, m, w, wy_pad, rows, pos_chunk, yb, valid):
@@ -201,12 +219,15 @@ def _build_A(scheme, m, w, wy_pad, rows, pos_chunk, yb, valid):
 def _deposit_kernel(scheme: str, m: int):
     w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
 
-    def kernel(starts_ref, pos_hbm, out_ref):
-        def run(pos_buf, win, sem_in, sem_out):
+    def kernel(starts_ref, pos_hbm, zeros_hbm, out_ref):
+        del zeros_hbm  # aliased to out_ref (pre-zeroed grid)
+
+        def run(pos_buf, win, region, sem_in, sem_rd, sem_wr):
             def tile_body(t, _):
                 start = starts_ref[t]
                 end = starts_ref[t + 1]
                 yb = lax.rem(t, jnp.int32(nby))
+                plane = lax.div(t, jnp.int32(nby))
                 win[...] = jnp.zeros((rows, wz_pad), F32)
 
                 def chunk_body(c, _):
@@ -241,47 +262,60 @@ def _deposit_kernel(scheme: str, m: int):
 
                 n_chunks = lax.div(end - start, jnp.int32(P_DEP))
                 lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
-                out_dma = pltpu.make_async_copy(win, out_ref.at[t], sem_out)
-                out_dma.start()
-                out_dma.wait()
+                # read-modify-write the tile's window region of the padded
+                # grid (tiles run sequentially, so no write races)
+                rd = pltpu.make_async_copy(
+                    out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                    region, sem_rd,
+                )
+                rd.start()
+                rd.wait()
+                region[...] = region[...] + win[...].reshape(w, wy_pad, wz_pad)
+                wr = pltpu.make_async_copy(
+                    region,
+                    out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                    sem_wr,
+                )
+                wr.start()
+                wr.wait()
                 return 0
 
             lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((8, P_DEP), F32),
+            pos_buf=pltpu.VMEM((4, P_DEP), F32),
             win=pltpu.VMEM((rows, wz_pad), F32),
+            region=pltpu.VMEM((w, wy_pad, wz_pad), F32),
             sem_in=pltpu.SemaphoreType.DMA,
-            sem_out=pltpu.SemaphoreType.DMA,
+            sem_rd=pltpu.SemaphoreType.DMA,
+            sem_wr=pltpu.SemaphoreType.DMA,
         )
 
     return kernel
 
 
-def _combine_windows(windows, m: int, scheme: str):
-    """Overlap-add per-tile windows (T, rows, WZpad) into the (M,M,M) grid."""
-    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    win = windows.reshape(m, nby, w, wy_pad, wz_pad)[..., :wy, :wz]
-    # fold z wrap: window z index maps to cell z mod m
-    grid_z = win[..., :m]
-    if w > 1:
-        grid_z = grid_z.at[..., : w - 1].add(win[..., m:])
-    # y: window row r is grid row (yb*YB + r) mod m; rows >= YB spill into
-    # the next block's low rows
-    out_y = grid_z[..., :YB, :]
-    for r in range(YB, wy):
-        # window row r of block b is global row b*YB + r -> block b+1,
-        # row r-YB; receiving block B gets the spill of block B-1
-        spill = grid_z[..., r, :]  # (m, nby, w, m)
-        out_y = out_y.at[..., r - YB, :].add(jnp.roll(spill, 1, axis=1))
-    # assemble y blocks: (m, nby, w, YB, m) -> (m, w, m, m)
-    out_y = out_y.transpose(0, 2, 1, 3, 4).reshape(m, w, m, m)
-    # x slots: slot a contributes to plane (i + a) mod m
-    grid = out_y[:, 0]
-    for a in range(1, w):
-        grid = grid + jnp.roll(out_y[:, a], a, axis=0)
-    return grid
+def _fold_padded_grid(gp, m: int):
+    """Fold the padded deposit grid into (M, M, M).
+
+    Pad regions along each axis hold periodic-wrap contributions for the
+    low indices of that axis (the window index ranges guarantee each pad
+    cell wraps exactly once; cells beyond are never written and stay 0).
+    """
+    def fold(arr, axis):
+        size = arr.shape[axis]
+        head = lax.slice_in_dim(arr, 0, m, axis=axis)
+        off = m
+        while off < size:
+            hi = min(off + m, size)
+            piece = lax.slice_in_dim(arr, off, hi, axis=axis)
+            idx = [slice(None)] * arr.ndim
+            idx[axis] = slice(0, hi - off)
+            head = head.at[tuple(idx)].add(piece)
+            off = hi
+        return head
+
+    return fold(fold(fold(gp, 2), 1), 0)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
@@ -290,28 +324,32 @@ def deposit(position_sorted, flags, tile_starts, ncells_1d: int, scheme: str,
     """Deposit padded-tile-sorted particles; returns the counts grid.
 
     ``position_sorted``/``flags`` come from :func:`sort_by_tile_padded`
-    (every tile range a multiple of Q, pads flagged 0).
+    (every tile range a multiple of Q, pads flagged 0). The kernel
+    accumulates straight into a padded grid (read-modify-write per tile;
+    safe because tiles run sequentially), so peak memory is one grid.
     """
     m = ncells_1d
     scheme = scheme.casefold()
     w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    ntot = position_sorted.shape[0]
-    npad = _round_up(ntot, P_DEP)
-    pos_t = jnp.full((8, npad), 2.0, F32)
-    pos_t = pos_t.at[:3, :ntot].set(position_sorted.T)
-    pos_t = pos_t.at[3, :ntot].set(flags)
+    pos_t = (position_sorted if position_sorted.ndim == 2
+             and position_sorted.shape[0] == 4
+             else pack_particles(position_sorted, flags))
 
-    windows = pl.pallas_call(
+    gp_shape = (m + w - 1, m + wy_pad - YB, wz_pad)
+    zeros = jnp.zeros(gp_shape, F32)
+    gp = pl.pallas_call(
         _deposit_kernel(scheme, m),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((ntiles, rows, wz_pad), F32),
+        out_shape=jax.ShapeDtypeStruct(gp_shape, F32),
+        input_output_aliases={2: 0},
         interpret=interpret,
-    )(tile_starts, pos_t)
-    return _combine_windows(windows, m, scheme)
+    )(tile_starts, pos_t, zeros)
+    return _fold_padded_grid(gp, m)
 
 
 # ---------------------------------------------------------------------------
@@ -386,9 +424,9 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((8, P_GAT), F32),
+            pos_buf=pltpu.VMEM((4, P_GAT), F32),
             fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
-            out_buf=pltpu.VMEM((8, P_GAT), F32),
+            out_buf=pltpu.VMEM((4, P_GAT), F32),
             sem_in=pltpu.SemaphoreType.DMA,
             sem_f=pltpu.SemaphoreType.DMA,
             sem_out=pltpu.SemaphoreType.DMA,
@@ -409,11 +447,10 @@ def gather_vec(field, position_sorted, flags, tile_starts, scheme: str,
     ncomp = field.shape[-1]
     scheme = scheme.casefold()
     w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    ntot = position_sorted.shape[0]
-    npad = _round_up(ntot, P_GAT)
-    pos_t = jnp.full((8, npad), 2.0, F32)
-    pos_t = pos_t.at[:3, :ntot].set(position_sorted.T)
-    pos_t = pos_t.at[3, :ntot].set(flags)
+    ntot = position_sorted.shape[0] if position_sorted.ndim == 2 and position_sorted.shape[1] == 3 else flags.shape[0]
+    pos_t = (position_sorted if position_sorted.shape[0] == 4
+             else pack_particles(position_sorted, flags))
+    npad = pos_t.shape[1]
 
     # component-leading extended field: slot a of plane key reads plane
     # (key + a) mod m; y rows yb*YB..+wy_pad-1; z cells 0..wz-1
@@ -432,7 +469,7 @@ def gather_vec(field, position_sorted, flags, tile_starts, scheme: str,
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct((8, npad), F32),
+        out_shape=jax.ShapeDtypeStruct((4, npad), F32),
         interpret=interpret,
     )(tile_starts, pos_t, fc)
     vals = out[:ncomp, :ntot].T

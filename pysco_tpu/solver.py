@@ -291,8 +291,10 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             position, flags, velocity, tstarts = pallas_pm.sort_by_tile_padded(
                 position, flags, n, cfg.mass_scheme, velocity
             )
+        # one packed lane-layout copy shared by both kernels
+        pos_packed = pallas_pm.pack_particles(position, flags)
         density = pallas_pm.deposit(
-            position, flags, tstarts, n, cfg.mass_scheme, interpret
+            pos_packed, flags, tstarts, n, cfg.mass_scheme, interpret
         )
         if n ** 3 != cfg.npart:
             density = density * norm
@@ -300,7 +302,7 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             cfg, first_call, save_pk, density, potential, u, dyn
         )
         acceleration = pallas_pm.gather_vec(
-            force, position, flags, tstarts, cfg.mass_scheme, interpret
+            force, pos_packed, flags, tstarts, cfg.mass_scheme, interpret
         )
         overflow = jnp.int32(0)  # padded layout cannot overflow
         return (position, velocity, flags, acceleration, potential, u, pk,
@@ -419,6 +421,17 @@ def force_3d(rhs, param):
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
        position, velocity, potential, u, dyn: DynScalars, flags=None):
+    """See :func:`pm_donated` for the buffer-donating production variant."""
+    return _pm_impl(
+        cfg, first_call, save_pk, position, velocity, flags, potential, u,
+        dyn
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
+def pm_donated(cfg: SolverConfig, first_call: bool, save_pk: bool,
+               position, velocity, potential, u, dyn: DynScalars,
+               flags=None):
     """Compute PM acceleration.
 
     Returns (position, velocity, flags, acceleration, potential,
