@@ -447,7 +447,10 @@ def pm_donated(cfg: SolverConfig, first_call: bool, save_pk: bool,
 
 
 def empty_fields(cfg: SolverConfig):
-    """Placeholder potential / additional-field grids for the first call."""
+    """Placeholder potential / additional-field grids for the first call.
+
+    Two distinct buffers (not one shared zeros array): the donating pm
+    variant would otherwise receive the same buffer twice.
+    """
     n = cfg.ncells_1d
-    zeros = jnp.zeros((n, n, n), F32)
-    return zeros, zeros
+    return jnp.zeros((n, n, n), F32), jnp.zeros((n, n, n), F32)
