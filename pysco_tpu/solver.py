@@ -453,4 +453,8 @@ def empty_fields(cfg: SolverConfig):
     variant would otherwise receive the same buffer twice.
     """
     n = cfg.ncells_1d
+    if cfg.theory in ("newton", "parametrized"):
+        # no additional field: keep a token grid so the pytree shape is
+        # stable without wasting a full cube of HBM
+        return jnp.zeros((n, n, n), F32), jnp.zeros((1, 1, 1), F32)
     return jnp.zeros((n, n, n), F32), jnp.zeros((n, n, n), F32)
