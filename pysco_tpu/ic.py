@@ -509,10 +509,9 @@ def generate(param, tables) -> Tuple[np.ndarray, np.ndarray]:
     if ics_str.casefold().endswith(".h5"):
         position, velocity = _read_raygal_hdf5(param)
         return finalise_initial_conditions(position, velocity, param)
-    raise NotImplementedError(
-        f"initial_conditions={ICS!r}: Gadget-format reading requires the "
-        "Pylians 'readgadget' package which is not available in this build"
-    )
+    # anything else is assumed to be a Gadget snapshot, as in the reference
+    position, velocity = _read_gadget(param)
+    return finalise_initial_conditions(position, velocity, param)
 
 
 def _restart(param, i_restart: int):
@@ -567,6 +566,39 @@ def _read_raygal_hdf5(param):
             position[istart:istart + cnt] = data[name + "/position_part"][:]
             velocity[istart:istart + cnt] = data[name + "/velocity_part"][:]
             istart += cnt
+    return position, velocity
+
+
+def _read_gadget(param):
+    """Gadget snapshot reader (initial_conditions.py:338-399 semantics,
+    self-contained reader instead of Pylians' readgadget)."""
+    from .utils import gadget
+    from .utils.units import set_units
+
+    filename = str(param["initial_conditions"])
+    logging.warning("Read %s", filename)
+    header = gadget.read_header(filename)
+    param["aexp"] = 1.0 / (1 + header.redshift)
+    param["z_start"] = header.redshift
+    logging.warning("Initial redshift snapshot at z = %s", header.redshift)
+    set_units(param)
+
+    npart = int(header.npart_total[1])
+    if npart != param["npart"]:
+        raise ValueError(f"{npart=} and {param['npart']=} should be equal.")
+    if not np.allclose(
+        [header.omega_m, header.omega_l, 100 * header.hubble],
+        [param["Om_m"], param["Om_lambda"], param["H0"]],
+    ):
+        raise ValueError(
+            f"Cosmology mismatch: {header.omega_m=} {param['Om_m']=} "
+            f"{(100 * header.hubble)=} {param['H0']=}"
+        )
+
+    position, velocity = gadget.read_particles(filename, ptype=1)
+    position = (position * F32(1.0 / header.boxsize)).astype(F32)
+    vel_factor = F32(param["unit_t"] / param["unit_l"])
+    velocity = (velocity * vel_factor).astype(F32)
     return position, velocity
 
 

@@ -23,11 +23,10 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .models import cubic, laplacian, mond, multigrid, quartic
 from .ops import dense_pm, fourier, mesh
@@ -51,9 +50,11 @@ class SolverConfig:
     fR_n: int
     mond_function: str
     mond_alpha: float
-    # "dense": scatter-free sorted-plane transfer (ops/dense_pm.py), the
-    # fast path on TPU. "scatter": XLA scatter/gather reference path.
-    particle_engine: str = "dense"
+    # "pallas": tile-binned Pallas kernels over the padded-aligned layout
+    # (ops/pallas_pm.py), the fast path on TPU. "dense": scatter-free
+    # one-hot contractions (ops/dense_pm.py). "scatter": XLA
+    # scatter/gather reference path.
+    particle_engine: str = "pallas"
 
     @property
     def ncells_1d(self) -> int:
@@ -77,9 +78,9 @@ def config_from_param(param) -> SolverConfig:
         fR_n=int(param["fR_n"]),
         mond_function=str(param["mond_function"]).casefold(),
         mond_alpha=float(param["mond_alpha"]),
-        particle_engine=str(param.get("particle_engine", "dense")).casefold()
+        particle_engine=str(param.get("particle_engine", "pallas")).casefold()
         if hasattr(param, "get")
-        else "dense",
+        else "pallas",
     )
 
 

@@ -147,6 +147,8 @@ DEFAULTS: Dict[str, Any] = {
     "Npost": 1,
     "epsrel": 1e-2,
     "verbose": 1,
+    # TPU-native extension (not a reference key): particle transfer engine
+    "particle_engine": "pallas",
 }
 
 

@@ -92,15 +92,18 @@ def test_pm_newton_fft_matches_float64_oracle(scheme):
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     phi0, u0 = solver_mod.empty_fields(cfg)
-    pos_out, _, _, acc, _, _, _, overflow = solver_mod.pm(
+    pos_out, _, flags, acc, _, _, _, overflow = solver_mod.pm(
         cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
     )
     assert int(overflow) == 0
-    acc = np.array(acc)
+    pos_out, acc = np.array(pos_out), np.array(acc)
+    if flags is not None:  # drop the padded engine's alignment-pad rows
+        real = np.array(flags) > 0
+        pos_out, acc = pos_out[real], acc[real]
 
-    # the dense engine returns plane-sorted particles; evaluate the oracle
-    # at the returned positions
-    want = _oracle_newton_fft(np.array(pos_out), n, aexp, om_m, scheme=scheme)
+    # the sorted engines permute particles; evaluate the oracle at the
+    # returned positions
+    want = _oracle_newton_fft(pos_out, n, aexp, om_m, scheme=scheme)
     scale = np.abs(want).max()
     np.testing.assert_allclose(acc, want, atol=2e-4 * scale)
 
@@ -124,10 +127,13 @@ def test_pm_multigrid_matches_fft7pt():
         cfg = solver_mod.config_from_param(param)
         dyn = solver_mod.compute_dynamics(param)
         phi0, u0 = solver_mod.empty_fields(cfg)
-        _, _, _, acc, _, _, _, _ = solver_mod.pm(
+        _, _, flags, acc, _, _, _, _ = solver_mod.pm(
             cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
         )
-        accs[solver_name] = np.array(acc)
+        acc = np.array(acc)
+        if flags is not None:
+            acc = acc[np.array(flags) > 0]
+        accs[solver_name] = acc
     scale = np.abs(accs["fft_7pt"]).max()
     np.testing.assert_allclose(
         accs["multigrid"], accs["fft_7pt"], atol=2e-3 * scale
