@@ -103,18 +103,35 @@ def red_black_masks(n: int):
     return red, ~red
 
 
+def _parity(n: int):
+    ii = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 1)
+    kk = jax.lax.broadcasted_iota(jnp.int32, (n, n, n), 2)
+    return (ii + jj + kk) & 1
+
+
 def gauss_seidel(x: jax.Array, b: jax.Array, f_relax: float = F_RELAX) -> jax.Array:
-    """One red-black over-relaxed Gauss-Seidel sweep."""
+    """One red-black over-relaxed Gauss-Seidel sweep.
+
+    The two colour half-updates run as a 2-iteration fori_loop (red = odd
+    parity first) so the stencil body appears only once in the HLO --
+    compile time matters on this toolchain.
+    """
     n = x.shape[0]
     h2b = F32(1.0 / (n * n)) * b
     invsix = F32(1.0 / 6.0)
     fr = F32(f_relax)
-    red, black = red_black_masks(n)
-    x_target = (neighbour_sum(x) - h2b) * invsix
-    x = jnp.where(red, x + fr * (x_target - x), x)
-    x_target = (neighbour_sum(x) - h2b) * invsix
-    x = jnp.where(black, x + fr * (x_target - x), x)
-    return x
+    parity = _parity(n)
+
+    def half(i, x):
+        mask = parity == (1 - i)
+        x_target = (neighbour_sum(x) - h2b) * invsix
+        return jnp.where(mask, x + fr * (x_target - x), x)
+
+    if jax.default_backend() == "tpu":
+        # rolled: the big stencil body appears once in the HLO
+        return jax.lax.fori_loop(0, 2, half, x)
+    return half(1, half(0, x))
 
 
 def gauss_seidel_with_rhs(
@@ -126,15 +143,24 @@ def gauss_seidel_with_rhs(
     h2b = F32(1.0 / (n * n)) * b
     invsix = F32(1.0 / 6.0)
     fr = F32(f_relax)
-    red, black = red_black_masks(n)
-    x_target = (neighbour_sum(x) - h2b) * invsix + rhs
-    x = jnp.where(red, x + fr * (x_target - x), x)
-    x_target = (neighbour_sum(x) - h2b) * invsix + rhs
-    x = jnp.where(black, x + fr * (x_target - x), x)
-    return x
+    parity = _parity(n)
+
+    def half(i, x):
+        mask = parity == (1 - i)
+        x_target = (neighbour_sum(x) - h2b) * invsix + rhs
+        return jnp.where(mask, x + fr * (x_target - x), x)
+
+    if jax.default_backend() == "tpu":
+        # rolled: the big stencil body appears once in the HLO
+        return jax.lax.fori_loop(0, 2, half, x)
+    return half(1, half(0, x))
 
 
 def smoothing(x: jax.Array, b: jax.Array, n_smoothing: int) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        return jax.lax.fori_loop(
+            0, n_smoothing, lambda _, xc: gauss_seidel(xc, b), x
+        )
     for _ in range(n_smoothing):
         x = gauss_seidel(x, b)
     return x
@@ -143,6 +169,11 @@ def smoothing(x: jax.Array, b: jax.Array, n_smoothing: int) -> jax.Array:
 def smoothing_with_rhs(
     x: jax.Array, b: jax.Array, n_smoothing: int, rhs: jax.Array
 ) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        return jax.lax.fori_loop(
+            0, n_smoothing,
+            lambda _, xc: gauss_seidel_with_rhs(xc, b, rhs), x,
+        )
     for _ in range(n_smoothing):
         x = gauss_seidel_with_rhs(x, b, rhs)
     return x

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import mesh
-from .laplacian import F_RELAX, red_black_masks
+from .laplacian import F_RELAX, _parity
 
 F32 = jnp.float32
 F64 = jnp.float64
@@ -123,20 +123,29 @@ def gauss_seidel(
     h2 = 1.0 / (n * n)
     q_eff_base = h2 * jnp.asarray(q, F64)
     fr = F32(f_relax)
-    red, black = red_black_masks(n)
+    parity = _parity(n)
     if rhs is None:
         q_eff = q_eff_base
     else:
         q_eff = q_eff_base - rhs.astype(F64)
 
-    for mask in (red, black):
+    def half(i, x):
+        mask = parity == (1 - i)
         p = _p_term(x, b)
         x_new = solution_quartic_equation(p, q_eff).astype(F32)
-        x = jnp.where(mask, x + fr * (x_new - x), x)
-    return x
+        return jnp.where(mask, x + fr * (x_new - x), x)
+
+    if jax.default_backend() == "tpu":
+        # rolled: the big stencil body appears once in the HLO
+        return jax.lax.fori_loop(0, 2, half, x)
+    return half(1, half(0, x))
 
 
 def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None) -> jax.Array:
+    if jax.default_backend() == "tpu":
+        return jax.lax.fori_loop(
+            0, n_smoothing, lambda _, xc: gauss_seidel(xc, b, q, rhs), x
+        )
     for _ in range(n_smoothing):
         x = gauss_seidel(x, b, q, rhs)
     return x
