@@ -229,16 +229,34 @@ def _deposit_kernel(scheme: str, m: int):
                 yb = lax.rem(t, jnp.int32(nby))
                 plane = lax.div(t, jnp.int32(nby))
                 win[...] = jnp.zeros((rows, wz_pad), F32)
+                n_chunks = lax.div(end - start, jnp.int32(P_DEP))
+
+                def start_dma(c, slot):
+                    off = pl.multiple_of(start + c * P_DEP, Q)
+                    pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, P_DEP)],
+                        pos_buf.at[slot],
+                        sem_in.at[slot],
+                    ).start()
+
+                @pl.when(n_chunks > 0)
+                def _():
+                    start_dma(jnp.int32(0), jnp.int32(0))
 
                 def chunk_body(c, _):
-                    # tile ranges are Q-aligned by construction
+                    slot = lax.rem(c, jnp.int32(2))
+                    # prefetch the next chunk while this one computes
+                    @pl.when(c + 1 < n_chunks)
+                    def _():
+                        start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+
                     off = pl.multiple_of(start + c * P_DEP, Q)
-                    dma = pltpu.make_async_copy(
-                        pos_hbm.at[:, pl.ds(off, P_DEP)], pos_buf, sem_in
-                    )
-                    dma.start()
-                    dma.wait()
-                    chunk = pos_buf[...]
+                    pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, P_DEP)],
+                        pos_buf.at[slot],
+                        sem_in.at[slot],
+                    ).wait()
+                    chunk = pos_buf[slot]
                     valid = chunk[3:4, :]  # flag row: 1 real, 0 pad
                     a_mat = _build_A(
                         scheme, m, w, wy_pad, rows, chunk, yb, valid
@@ -260,7 +278,6 @@ def _deposit_kernel(scheme: str, m: int):
                     )
                     return 0
 
-                n_chunks = lax.div(end - start, jnp.int32(P_DEP))
                 lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
                 # read-modify-write the tile's window region of the padded
                 # grid (tiles run sequentially, so no write races)
@@ -284,10 +301,10 @@ def _deposit_kernel(scheme: str, m: int):
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((4, P_DEP), F32),
+            pos_buf=pltpu.VMEM((2, 4, P_DEP), F32),
             win=pltpu.VMEM((rows, wz_pad), F32),
             region=pltpu.VMEM((w, wy_pad, wz_pad), F32),
-            sem_in=pltpu.SemaphoreType.DMA,
+            sem_in=pltpu.SemaphoreType.DMA((2,)),
             sem_rd=pltpu.SemaphoreType.DMA,
             sem_wr=pltpu.SemaphoreType.DMA,
         )
@@ -374,14 +391,34 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
                 fdma.start()
                 fdma.wait()
 
-                def chunk_body(c, _):
+                n_chunks = lax.div(end - start, jnp.int32(P_GAT))
+
+                def start_dma(c, slot):
                     off = pl.multiple_of(start + c * P_GAT, Q)
-                    dma = pltpu.make_async_copy(
-                        pos_hbm.at[:, pl.ds(off, P_GAT)], pos_buf, sem_in
-                    )
-                    dma.start()
-                    dma.wait()
-                    chunk = pos_buf[...]
+                    pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, P_GAT)],
+                        pos_buf.at[slot],
+                        sem_in.at[slot],
+                    ).start()
+
+                @pl.when(n_chunks > 0)
+                def _():
+                    start_dma(jnp.int32(0), jnp.int32(0))
+
+                def chunk_body(c, _):
+                    slot = lax.rem(c, jnp.int32(2))
+                    # prefetch the next particle chunk during compute
+                    @pl.when(c + 1 < n_chunks)
+                    def _():
+                        start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+
+                    off = pl.multiple_of(start + c * P_GAT, Q)
+                    pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, P_GAT)],
+                        pos_buf.at[slot],
+                        sem_in.at[slot],
+                    ).wait()
+                    chunk = pos_buf[slot]
                     valid = chunk[3:4, :]  # flag row
                     a_mat = _build_A(
                         scheme, m, w, wy_pad, rows, chunk, yb, valid
@@ -397,6 +434,18 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
                         wz_mat = wz_mat + jnp.where(
                             zrows == zl + oz, wzw[oz], F32(0)
                         )
+                    # wait for the previous chunk's output write before
+                    # reusing its buffer slot
+                    @pl.when(c >= 2)
+                    def _():
+                        off_prev = pl.multiple_of(
+                            start + (c - 2) * P_GAT, Q
+                        )
+                        pltpu.make_async_copy(
+                            out_buf.at[slot],
+                            out_ref.at[:, pl.ds(off_prev, P_GAT)],
+                            sem_out.at[slot],
+                        ).wait()
                     for comp in range(ncomp):
                         fw = fwin[comp].reshape(rows, wz_pad)
                         # (WZpad, P) = window^T-contraction with A
@@ -408,28 +457,43 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
                         vals = jnp.sum(
                             t1t * wz_mat, axis=0, keepdims=True
                         )  # (1, P)
-                        out_buf[comp:comp + 1, :] = vals
-                    odma = pltpu.make_async_copy(
-                        out_buf, out_ref.at[:, pl.ds(off, P_GAT)], sem_out
-                    )
-                    odma.start()
-                    odma.wait()
+                        out_buf[slot, comp:comp + 1, :] = vals
+                    pltpu.make_async_copy(
+                        out_buf.at[slot],
+                        out_ref.at[:, pl.ds(off, P_GAT)],
+                        sem_out.at[slot],
+                    ).start()
                     return 0
 
-                n_chunks = lax.div(end - start, jnp.int32(P_GAT))
                 lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
+                # drain the last (up to) two output writes
+                def drain(c, _):
+                    @pl.when(c >= jnp.maximum(n_chunks - 2, 0))
+                    def _():
+                        slot = lax.rem(c, jnp.int32(2))
+                        off_d = pl.multiple_of(start + c * P_GAT, Q)
+                        pltpu.make_async_copy(
+                            out_buf.at[slot],
+                            out_ref.at[:, pl.ds(off_d, P_GAT)],
+                            sem_out.at[slot],
+                        ).wait()
+                    return 0
+
+                lax.fori_loop(
+                    jnp.maximum(n_chunks - 2, 0), n_chunks, drain, 0
+                )
                 return 0
 
             lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((4, P_GAT), F32),
+            pos_buf=pltpu.VMEM((2, 4, P_GAT), F32),
             fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
-            out_buf=pltpu.VMEM((4, P_GAT), F32),
-            sem_in=pltpu.SemaphoreType.DMA,
+            out_buf=pltpu.VMEM((2, 4, P_GAT), F32),
+            sem_in=pltpu.SemaphoreType.DMA((2,)),
             sem_f=pltpu.SemaphoreType.DMA,
-            sem_out=pltpu.SemaphoreType.DMA,
+            sem_out=pltpu.SemaphoreType.DMA((2,)),
         )
 
     return kernel
