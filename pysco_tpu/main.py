@@ -61,7 +61,14 @@ def run(param) -> None:
     if isinstance(param, Dict) and not isinstance(param, Params):
         param = params_from_dict(param)
     param = with_defaults(param)
-    _setup_logging(int(param["verbose"]))
+    verbose = int(param["verbose"])
+    _setup_logging(verbose)
+    if verbose >= 2:
+        # full timings: per-cycle multigrid residual lines (reference
+        # multigrid.py:79,134) and per-step wall-clock at INFO
+        from .models import multigrid as multigrid_mod
+
+        multigrid_mod.set_residual_logging(True)
     param["write_snapshot"] = False
     param["extra"] = extra_name(param)
 
@@ -153,6 +160,7 @@ def run(param) -> None:
         save_pk = pk_mode == "yes" or (
             pk_mode == "z_out" and param["write_snapshot"]
         )
+        t_step0 = perf_counter()
         (position, velocity, acceleration, potential, u, pk, diag, flags) = (
             integration.step_donated(
                 cfg, integrator, first_call, save_pk,
@@ -164,6 +172,9 @@ def run(param) -> None:
             _write_pk(pk, param)
         max_abs_acc = float(diag.max_abs_acc)
         max_abs_vel = float(diag.max_abs_vel)
+        # the diag fetch above synchronises the device, so this is a true
+        # per-step wall time (dispatch alone would be async)
+        logging.info("step wall time: %.1f ms", 1e3 * (perf_counter() - t_step0))
         overflow = int(diag.overflow)
         if overflow:
             logging.error(

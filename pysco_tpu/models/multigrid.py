@@ -32,6 +32,38 @@ F32 = jnp.float32
 
 MAX_CYCLES = 30  # safety cap for the while_loop; the reference has none
 
+# When True, _converge emits a per-cycle "residual error vs tolerance"
+# line from inside the compiled while_loop via jax.debug.print (the
+# reference logs this at INFO, multigrid.py:79,134). Off by default: the
+# callback adds a host round-trip per cycle.
+LOG_RESIDUALS = False
+
+
+def _backend_supports_callbacks() -> bool:
+    """The axon (tunnelled TPU) PJRT client cannot run host callbacks, so
+    jax.debug.print would abort the whole program there."""
+    try:
+        from jax._src import xla_bridge
+
+        version = getattr(xla_bridge.get_backend(), "platform_version", "")
+        return "axon" not in version
+    except Exception:
+        return True
+
+
+def set_residual_logging(enabled: bool) -> None:
+    """Toggle per-cycle residual logging (takes effect on the next trace)."""
+    global LOG_RESIDUALS
+    if enabled and not _backend_supports_callbacks():
+        import logging
+
+        logging.warning(
+            "multigrid residual logging unavailable: this backend does not "
+            "support host callbacks (jax.debug.print)"
+        )
+        enabled = False
+    LOG_RESIDUALS = bool(enabled)
+
 
 @dataclass(frozen=True)
 class FASOps:
@@ -179,6 +211,12 @@ def _converge(x, b, cycle_fn, error_fn, tolerance):
         x, prev, it, _ = carry
         x = cycle_fn(x, b)
         err = error_fn(x, b)
+        if LOG_RESIDUALS:
+            jax.debug.print(
+                "multigrid: cycle {it} residual error {err:.3e} "
+                "(tolerance {tol:.3e})",
+                it=it + 1, err=err, tol=tolerance,
+            )
         # stop when below tolerance or the per-cycle improvement ratio
         # drops under 2 (division-free so err == 0 terminates cleanly)
         done = (err <= tolerance) | (err * F32(2) > prev)
@@ -231,6 +269,39 @@ def V_cycle_FAS(
     return ops.smoothing(x, b, Npost, rhs)
 
 
+def F_cycle_FAS(
+    x, b, ops: FASOps, ncoarse: int, Npre: int, Npost: int,
+    level: int = 0, rhs: Optional[jax.Array] = None,
+):
+    """FAS F-cycle (reference multigrid.py:642-719): an F-recursion first
+    leg, then a V-cycle second leg, Npre smoothing between legs."""
+    x = ops.smoothing(x, b, Npre, rhs)
+    res_c = ops.restrict_residual(x, b, rhs)
+    x_c = mesh.restriction(x)
+    b_c = mesh.restriction(b)
+    res_c = F32(4) * res_c + ops.operator(x_c, b_c)
+    if _coarsest(level, ncoarse):
+        x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
+    else:
+        x_corr_c = F_cycle_FAS(
+            x_c, b_c, ops, ncoarse, Npre, Npost, level + 1, res_c
+        )
+    x = mesh.add_prolongation(x, x_corr_c - x_c)
+    x = ops.smoothing(x, b, Npre, rhs)
+
+    res_c = ops.restrict_residual(x, b, rhs)
+    x_c = mesh.restriction(x)
+    res_c = F32(4) * res_c + ops.operator(x_c, b_c)
+    if _coarsest(level, ncoarse):
+        x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
+    else:
+        x_corr_c = V_cycle_FAS(
+            x_c, b_c, ops, ncoarse, Npre, Npost, level + 1, res_c
+        )
+    x = mesh.add_prolongation(x, x_corr_c - x_c)
+    return ops.smoothing(x, b, Npost, rhs)
+
+
 def W_cycle_FAS(
     x, b, ops: FASOps, ncoarse: int, Npre: int, Npost: int,
     level: int = 0, rhs: Optional[jax.Array] = None,
@@ -258,7 +329,7 @@ def FAS(
     cycle: str = "V",
 ):
     """Full Approximation Scheme solve of ops.operator(x, b) = 0."""
-    cyc = {"V": V_cycle_FAS, "W": W_cycle_FAS}[cycle]
+    cyc = {"V": V_cycle_FAS, "F": F_cycle_FAS, "W": W_cycle_FAS}[cycle]
     return _converge(
         x,
         b,

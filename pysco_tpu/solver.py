@@ -140,7 +140,6 @@ def compute_dynamics(param) -> DynScalars:
         fR_f2 = (Rbar / 3 * aexp ** 4 - om_m * aexp) / (6 * c2) / (-fR_a)
         fR_q = (-(aexp ** 4) * Rbar / (18 * c2)) / (-fR_a)
         fR_half_c2 = 0.5 * (-fR_a) * c2
-        param["fR_q"] = fR_q
 
     mond_g0 = 0.0
     if theory == "mond":

@@ -83,6 +83,29 @@ def test_fas_laplacian_matches_linear():
     assert np.abs(got - exact).max() < 1e-3 * np.abs(exact).max() + 1e-5
 
 
+def test_f_cycle_fas_matches_linear():
+    """F-cycle FAS (reference multigrid.py:642-719) solves the linear
+    reformulated problem to the same answer, and is selectable from FAS()."""
+    ncoarse = 4
+    b = _rhs(2 ** ncoarse, seed=6)
+    exact = np.array(_exact_solution(b))
+    exact -= exact.mean()
+    ops = multigrid.fas_ops_laplacian()
+    x = laplacian.initialise_potential(b)
+    for _ in range(12):
+        x = multigrid.F_cycle_FAS(x, b, ops, ncoarse, 2, 1)
+    got = np.array(x)
+    got -= got.mean()
+    assert np.abs(got - exact).max() < 1e-3 * np.abs(exact).max() + 1e-5
+    # driver dispatch accepts cycle="F"
+    x2 = laplacian.initialise_potential(b)
+    tol = jnp.float32(1e-2) * ops.truncation_error(x2, b)
+    x2 = multigrid.FAS(x2, b, ops, ncoarse, 2, 1, tol, cycle="F")
+    assert float(ops.residual_error(x2, b)) <= float(
+        ops.residual_error(laplacian.initialise_potential(b), b)
+    )
+
+
 def test_reformulated_consistency():
     """operator_reformulated = -(h^2/6) * (laplacian - b-term) algebra check."""
     rng = np.random.default_rng(5)
