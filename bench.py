@@ -50,7 +50,7 @@ def bench_tpu() -> float:
     pos, vel = _rand_state(NPART)
     pos, vel = jnp.asarray(pos), jnp.asarray(vel)
     phi, u = solver_mod.empty_fields(cfg)
-    pos, vel, flags, acc, phi, u, _, _ = solver_mod.pm(
+    pos, vel, acc, phi, u, _, _ = solver_mod.pm(
         cfg, True, False, pos, vel, phi, u, dyn
     )
     float(jnp.sum(acc))
@@ -64,16 +64,16 @@ def bench_tpu() -> float:
     state = (pos, vel, acc, phi, u)
     for _ in range(WARMUP):
         out = integrate.step_donated(
-            cfg, "leapfrog", False, False, *state, dyn, dt, flags
+            cfg, "leapfrog", False, False, *state, dyn, dt
         )
-        state, flags = out[:5], out[7]
+        state = out[:5]
     sync(state)
     t0 = time.perf_counter()
     for _ in range(ITERS):
         out = integrate.step_donated(
-            cfg, "leapfrog", False, False, *state, dyn, dt, flags
+            cfg, "leapfrog", False, False, *state, dyn, dt
         )
-        state, flags = out[:5], out[7]
+        state = out[:5]
     sync(state)
     elapsed = time.perf_counter() - t0
     return ITERS / elapsed

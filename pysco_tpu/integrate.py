@@ -39,58 +39,49 @@ def _diagnostics(acc, vel, u, overflow) -> StepDiagnostics:
     )
 
 
-def _drift_wrap(position, velocity, dt, flags):
-    position = mesh.periodic_wrap(position + velocity * dt)
-    if flags is not None:
-        # pin alignment-pad rows at their sentinel position
-        position = jnp.where(flags[:, None] > 0, position, F32(2.0))
-    return position
-
-
 def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
               save_pk: bool, position, velocity, acceleration, potential, u,
-              dyn: DynScalars, dt, flags=None):
+              dyn: DynScalars, dt):
     """One full integration step; returns the new state + diagnostics.
 
-    ``flags`` marks real vs alignment-pad particle rows for the padded
-    (pallas) engine; None otherwise.
+    Layout-agnostic: the kick/drift/wrap are elementwise, so the pallas
+    engine's (3, N_up) column state and the other engines' (npart, 3) rows
+    flow through identically (``periodic_wrap`` preserves the column
+    state's sentinel tail).
     """
     dt = F32(dt)
     if integrator == "leapfrog":
         half_dt = F32(0.5) * dt
         velocity = velocity - acceleration * half_dt
-        position = _drift_wrap(position, velocity, dt, flags)
-        (position, velocity, flags, acceleration, potential, u, pk,
+        position = mesh.periodic_wrap(position + velocity * dt)
+        (position, velocity, acceleration, potential, u, pk,
          overflow) = solver_mod._pm_impl(
-            cfg, first_call, save_pk, position, velocity, flags, potential,
-            u, dyn
+            cfg, first_call, save_pk, position, velocity, potential, u, dyn
         )
         velocity = velocity - acceleration * half_dt
     elif integrator == "euler":
-        position = _drift_wrap(position, velocity, dt, flags)
+        position = mesh.periodic_wrap(position + velocity * dt)
         velocity = velocity - acceleration * dt
-        (position, velocity, flags, acceleration, potential, u, pk,
+        (position, velocity, acceleration, potential, u, pk,
          overflow) = solver_mod._pm_impl(
-            cfg, first_call, save_pk, position, velocity, flags, potential,
-            u, dyn
+            cfg, first_call, save_pk, position, velocity, potential, u, dyn
         )
     else:
         raise NotImplementedError(
             f"integrator {integrator!r}, must be 'leapfrog' or 'euler'"
         )
     diag = _diagnostics(acceleration, velocity, u, overflow)
-    return position, velocity, acceleration, potential, u, pk, diag, flags
+    return position, velocity, acceleration, potential, u, pk, diag
 
 
 step = partial(jax.jit, static_argnums=(0, 1, 2, 3))(step_impl)
 
 # Production variant: donates the particle/field state so XLA reuses the
 # old buffers in place (the run loop never touches pre-step state again).
-# Positional args: 4=position 5=velocity 6=acceleration 7=potential 8=u
-# 11=flags.
+# Positional args: 4=position 5=velocity 6=acceleration 7=potential 8=u.
 step_donated = partial(
     jax.jit, static_argnums=(0, 1, 2, 3),
-    donate_argnums=(4, 5, 6, 7, 8, 11),
+    donate_argnums=(4, 5, 6, 7, 8),
 )(step_impl)
 
 

@@ -106,7 +106,7 @@ def run(param) -> None:
     logging.warning("----- Run N-body -----")
     dyn = solver_mod.compute_dynamics(param)
     save_pk_first = pk_mode == "yes"
-    (position, velocity, flags, acceleration, potential, u, pk, _) = (
+    (position, velocity, acceleration, potential, u, pk, _) = (
         solver_mod.pm_donated(
             cfg, True, save_pk_first, position, velocity, potential, u, dyn
         )
@@ -161,11 +161,11 @@ def run(param) -> None:
             pk_mode == "z_out" and param["write_snapshot"]
         )
         t_step0 = perf_counter()
-        (position, velocity, acceleration, potential, u, pk, diag, flags) = (
+        (position, velocity, acceleration, potential, u, pk, diag) = (
             integration.step_donated(
                 cfg, integrator, first_call, save_pk,
                 position, velocity, acceleration, potential, u, dyn,
-                np.float32(dt), flags,
+                np.float32(dt),
             )
         )
         if save_pk:
@@ -196,10 +196,9 @@ def run(param) -> None:
                 position, velocity, acceleration
             )
         if param["write_snapshot"]:
-            pos_np, vel_np = np.asarray(position), np.asarray(velocity)
-            if flags is not None:
-                real = np.asarray(flags) > 0
-                pos_np, vel_np = pos_np[real], vel_np[real]
+            pos_np, vel_np = solver_mod.particles_to_rows(
+                cfg, position, velocity
+            )
             iostream.write_snapshot_particles(pos_np, vel_np, param)
             param["i_snap"] = int(param["i_snap"]) + 1
         logging.warning(

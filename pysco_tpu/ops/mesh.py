@@ -323,13 +323,17 @@ _WRAP_EPS = -(0.5 ** 25) * (1.0 + 1e-6)
 def periodic_wrap(position: jax.Array) -> jax.Array:
     """Wrap positions into [0, 1), snapping float32-epsilon negatives to 0.
 
-    Same semantics as the reference (utils.py:1119-1149).
+    Same semantics as the reference (utils.py:1119-1149). Values >= 1.5
+    are preserved: the pallas engine's column state marks its alignment
+    tail with a sentinel position of 2.0 (ops/pallas_pm.py) which must
+    survive the wrap (real positions never reach 1.5 -- the per-step CFL
+    bounds drift to a fraction of a cell).
     """
     eps = F32(_WRAP_EPS)
     x = position
     x = jnp.where((x < 0) & (x > eps), F32(0), x)
     x = jnp.where(x < 0, x + F32(1), x)
-    x = jnp.where(x >= 1, x - F32(1), x)
+    x = jnp.where((x >= 1) & (x < F32(1.5)), x - F32(1), x)
     return x
 
 

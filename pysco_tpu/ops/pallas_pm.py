@@ -2,27 +2,40 @@
 
 The dense engine (ops/dense_pm.py) removed XLA scatter but still builds
 O(M)-wide one-hot matrices per particle. This module is the
-speed-of-light path: particles are sorted by (x-plane, 8-row y-block)
-tile, and a single gridless Pallas kernel walks the tiles sequentially
-(on a single-core TPU a pallas grid is a pipelining loop anyway -- and
-the axon Mosaic toolchain rejects gridded calls, see ROADMAP.md),
-DMA-ing each tile's particle range from HBM and accumulating a small
-VMEM window
+speed-of-light path on TPU:
 
-    window[(a, y_local), z] += Wx[a] * Wy[y_local] * Wz[z]
+- Particle state lives in **column layout** ``(4, N_up)`` (x/y/z rows
+  plus a zero spare row for (4, 128) DMA tiling;
+  ``N_up = round_up(npart, Q)``; the tail columns hold a sentinel
+  position >= 1.5 and zero velocity). Column layout makes the per-step
+  tile sort a plain multi-operand ``lax.sort`` over contiguous rows --
+  no (N, 3) transposes anywhere on the hot path.
+- One sort per force evaluation bins particles by (x-plane, 8-row
+  y-block) tile. There is **no alignment padding**: the kernels walk
+  each tile's particle range over Q-aligned *covering* chunks and mask
+  out-of-range lanes with a (start <= global_index < end) predicate, so
+  a chunk straddling a tile boundary is simply processed by both tiles
+  with complementary masks.
+- A single gridless Pallas kernel walks the tiles sequentially (on a
+  single-core TPU a pallas grid is a pipelining loop anyway -- and the
+  axon Mosaic toolchain rejects gridded calls), double-buffering each
+  tile's particle chunks from HBM and accumulating a small VMEM window
 
-as one MXU contraction per particle chunk: A ((W*WY), P) built from
-lane-layout one-hot compares, Wz (P-or-WZ, ...) from the z support, and
-window += A contract_P Wz. Per-tile particle counts are fully dynamic
-(no capacity padding, no overflow possible); tile windows are
-overlap-added into the grid by pure reshapes/rolls afterwards.
+      window[(a, y_local), z] += Wx[a] * Wy[y_local] * Wz[z]
+
+  as one MXU contraction per chunk: A ((W*WY), P) is the factored
+  one-hot product of the x-slot and local-y weights, Wz (M, P) is the
+  z one-hot with **periodic wrap folded into the one-hot column**
+  ((z_base + o) mod M), so the window's z extent is exactly M and no
+  z unwrapping pass is needed. Tile windows are overlap-added into a
+  padded grid by read-modify-write DMAs (tiles run sequentially), and
+  the x/y pad regions are folded back periodically at the end.
 
 The gather kernel runs the transpose: per tile it DMAs the force-field
-window (component-leading layout), contracts A with it per component,
-applies the z weights and streams per-chunk particle values back to HBM.
-Chunk tails that spill past a tile's range are overwritten by the next
-non-empty tile (sequential execution: last write wins), with one chunk
-of padding at the end of the output.
+window (component-leading layout) and contracts all three components
+in ONE MXU dot ((3*W*WY, M) x (M, P)), applies the A weights as a VPU
+reduction, and merges per-chunk particle values back to HBM with a
+read-modify-write so straddling chunks compose correctly.
 
 Supports NGP/CIC/TSC via the same scheme-native support widths as
 ops/dense_pm.py (W = 1/2/3; reference maths mesh.py:2240-3089).
@@ -48,13 +61,18 @@ F32 = jnp.float32
 I32 = jnp.int32
 
 YB = 8  # y-block rows per tile
-Q = 512  # padded-layout quantum: every tile's particle range is a multiple
-P_DEP = 512  # particles per deposit chunk (== Q so chunk offsets align)
-P_GAT = 512  # particles per gather chunk (== Q)
+Q = 512  # particle chunk size == DMA alignment quantum
+SENTINEL = 2.0  # tail-column x position (anything >= SENTINEL_MIN)
+SENTINEL_MIN = 1.5
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def padded_cols(npart: int) -> int:
+    """Static column count of the particle state arrays."""
+    return _round_up(npart, Q)
 
 
 def _geometry(ncells_1d: int, scheme: str):
@@ -62,154 +80,102 @@ def _geometry(ncells_1d: int, scheme: str):
     wy = YB + w - 1
     wy_pad = _round_up(wy, 8)  # Mosaic slice shapes must be tile-aligned
     rows = w * wy_pad
-    wz = ncells_1d + w - 1
-    wz_pad = _round_up(wz, 128)
+    wz_pad = _round_up(ncells_1d, 128)
     nby = ncells_1d // YB
     ntiles = ncells_1d * nby
-    return w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles
+    return w, wy, wy_pad, rows, wz_pad, nby, ntiles
 
 
-def sort_by_tile(position: jax.Array, ncells_1d: int, scheme: str, *payload):
-    """Sort particles by (x-plane, y-block) tile id; returns
-    (position, *payload, tile_starts)."""
+def to_columns(position, velocity, npart: int):
+    """(npart, 3) row-major particles -> column state ((4, N_up) x2).
+
+    Row 3 is zero padding: Mosaic DMA slices along the sublane dimension
+    must align to the (4, 128) float32 tile, and XLA pads a (3, N) array
+    to 4 sublanes physically anyway. Tail columns get the sentinel
+    position (excluded from every tile by the sort key) and zero velocity.
+    """
+    n_up = padded_cols(npart)
+    pos = jnp.full((4, n_up), F32(SENTINEL))
+    pos = pos.at[:3, :npart].set(jnp.asarray(position, F32).T)
+    pos = pos.at[3].set(F32(0))
+    vel = jnp.zeros((4, n_up), F32)
+    vel = vel.at[:3, :npart].set(jnp.asarray(velocity, F32).T)
+    return pos, vel
+
+
+def tile_keys(position, ncells_1d: int, scheme: str) -> jax.Array:
+    """(N_up,) i32 tile id per column; sentinel tail keys to ntiles."""
     m = ncells_1d
     nby = m // YB
-    xs = position[:, 0] * F32(m)
-    ys = position[:, 1] * F32(m)
+    xs = position[0] * F32(m)
+    ys = position[1] * F32(m)
     px = _base_axis(scheme, xs) % m
     py = (_base_axis(scheme, ys) % m) // YB
-    key = px * nby + py
-    flat_payload = []
-    for arr in payload:
-        flat_payload.extend([arr[:, 0], arr[:, 1], arr[:, 2]])
-    sorted_ops = lax.sort(
-        (key, position[:, 0], position[:, 1], position[:, 2], *flat_payload),
+    key = (px * nby + py).astype(I32)
+    return jnp.where(position[0] >= F32(SENTINEL_MIN), I32(m * nby), key)
+
+
+def sort_particles(position, velocity, ncells_1d: int, scheme: str):
+    """Tile-sort the column state; returns (pos, vel, tile_starts).
+
+    One 7-operand ``lax.sort`` per force evaluation; ``tile_starts`` has
+    ntiles+1 entries (tile t's particles occupy columns
+    [tile_starts[t], tile_starts[t+1])), not aligned to anything -- the
+    kernels mask at chunk granularity instead.
+    """
+    m = ncells_1d
+    ntiles = m * (m // YB)
+    key = tile_keys(position, m, scheme)
+    ops = lax.sort(
+        (key, position[0], position[1], position[2],
+         velocity[0], velocity[1], velocity[2]),
         num_keys=1,
     )
-    key_s = sorted_ops[0]
-    pos_s = jnp.stack(sorted_ops[1:4], axis=1)
-    out_payload = tuple(
-        jnp.stack(sorted_ops[4 + 3 * i: 7 + 3 * i], axis=1)
-        for i in range(len(payload))
-    )
-    ntiles = m * nby
+    zero = jnp.zeros_like(ops[1])
+    pos_s = jnp.stack((*ops[1:4], zero))
+    vel_s = jnp.stack((*ops[4:7], zero))
     starts = jnp.searchsorted(
-        key_s, jnp.arange(ntiles + 1, dtype=I32), side="left"
+        ops[0], jnp.arange(ntiles + 1, dtype=I32), side="left"
     ).astype(I32)
-    return (pos_s, *out_payload, starts)
+    return pos_s, vel_s, starts
 
 
-def padded_size(npart: int, ncells_1d: int) -> int:
-    """Static row count of the persistently padded particle state."""
-    nby = ncells_1d // YB
-    return npart + ncells_1d * nby * Q
+def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p):
+    """Factored one-hot weights for one particle chunk.
 
-
-def sort_by_tile_padded(position, flags, ncells_1d: int, scheme: str,
-                        *payload):
-    """Tile sort with per-tile alignment padding.
-
-    ``position`` has ``padded_size`` rows; ``flags`` is 1.0 on real rows and
-    0.0 on pad rows (pad positions/payload are ignored). Two sorts: the
-    first groups real particles by tile (pads at the end), the second
-    re-keys just enough pads into each tile that every tile's padded count
-    is a multiple of Q -- so every tile range is Q-aligned and the Pallas
-    kernels need no masked or unaligned DMA at all. The real/pad flag rides
-    as the low key bit (reals sort before pads within a tile), saving a
-    sort operand.
-
-    Returns (position, flags, *payload, tile_starts) where
-    tile_starts[0..T] are all multiples of Q.
-    """
-    m = ncells_1d
-    nby = m // YB
-    ntiles = m * nby
-    ntot = position.shape[0]
-    xs = position[:, 0] * F32(m)
-    ys = position[:, 1] * F32(m)
-    px = _base_axis(scheme, xs) % m
-    py = (_base_axis(scheme, ys) % m) // YB
-    keys_real = (px * nby + py).astype(I32)
-    keys = jnp.where(
-        flags > 0, keys_real * 2, jnp.int32(2 * ntiles + 1)
-    )
-
-    flat_payload = []
-    for arr in payload:
-        flat_payload.extend([arr[:, 0], arr[:, 1], arr[:, 2]])
-    ops1 = lax.sort(
-        (keys, position[:, 0], position[:, 1], position[:, 2],
-         *flat_payload),
-        num_keys=1,
-    )
-    keys1 = ops1[0]
-    starts1 = jnp.searchsorted(
-        keys1, jnp.arange(ntiles + 1, dtype=I32) * 2, side="left"
-    ).astype(I32)
-    counts = starts1[1:] - starts1[:-1]
-    pad_t = (-counts) % Q
-    cum_pad = jnp.cumsum(pad_t).astype(I32)
-    # real rows always occupy the first nreal rows after sort 1; pad of
-    # rank r joins the first tile t with cum_pad[t] > r (leftovers keep
-    # key 2T+1). method='sort' keeps this O((n+T) log) instead of the
-    # default per-query scan.
-    nreal = ntot - ntiles * Q
-    rank = jnp.arange(ntiles * Q, dtype=I32)
-    pad_keys = jnp.searchsorted(
-        cum_pad, rank, side="right", method="sort"
-    ).astype(I32) * 2 + 1
-    keys2 = jnp.concatenate([keys1[:nreal], pad_keys])
-    ops2 = lax.sort((keys2, *ops1[1:]), num_keys=1)
-    flags_s = jnp.where((ops2[0] & 1) == 0, F32(1), F32(0))
-    pos_s = jnp.stack(ops2[1:4], axis=1)
-    out_payload = tuple(
-        jnp.stack(ops2[4 + 3 * i: 7 + 3 * i], axis=1)
-        for i in range(len(payload))
-    )
-    starts2 = jnp.searchsorted(
-        ops2[0], jnp.arange(ntiles + 1, dtype=I32) * 2, side="left"
-    ).astype(I32)
-    return (pos_s, flags_s, *out_payload, starts2)
-
-
-def pack_particles(position_sorted, flags, chunk: int = Q):
-    """Lane-layout packed particle array (4, Npad): rows x, y, z, flag.
-
-    Built once per force evaluation and shared by the deposit and gather
-    kernels.
-    """
-    ntot = position_sorted.shape[0]
-    npad = _round_up(ntot, chunk)
-    pos_t = jnp.full((4, npad), 2.0, F32)
-    pos_t = pos_t.at[:3, :ntot].set(position_sorted.T)
-    pos_t = pos_t.at[3, :ntot].set(flags)
-    return pos_t
-
-
-def _build_A(scheme, m, w, wy_pad, rows, pos_chunk, yb, valid):
-    """A (rows, P): one-hot of (x-slot, local-y) weight products.
-
-    pos_chunk is (3, P) raw positions in lane layout; yb is the tile's
-    y-block index (traced scalar).
+    Returns A (w*wy_pad, P) -- x-slot x local-y one-hot products, valid-
+    masked -- and Wz (wz_pad, P) -- z one-hot with periodic wrap folded
+    into the column index ((z_base + o) mod m). ``valid`` enters A only.
     """
     xs = pos_chunk[0:1, :] * F32(m)
     ys = pos_chunk[1:2, :] * F32(m)
+    zs = pos_chunk[2:3, :] * F32(m)
     bx = _base_axis(scheme, xs)
     wx = _axis_weights(scheme, xs, bx)
     by = _base_axis(scheme, ys)
     wyw = _axis_weights(scheme, ys, by)
-    # wrap-free mod: by in [-1, m-1]; only by = -1 wraps (to m-1)
+    bz = _base_axis(scheme, zs)
+    wzw = _axis_weights(scheme, zs, bz)
     by_wrapped = jnp.where(by < 0, by + m, by)
     ylocal = by_wrapped - yb * YB  # [0, YB) for this tile's particles
-    p = pos_chunk.shape[1]
-    row_ids = lax.broadcasted_iota(I32, (rows, p), 0)
-    a_mat = jnp.zeros((rows, p), F32)
-    for a in range(w):
-        for oy in range(w):
-            col = a * wy_pad + ylocal + oy  # (1, P)
-            wgt = wx[a] * wyw[oy] * valid  # (1, P)
-            a_mat = a_mat + jnp.where(row_ids == col, wgt, F32(0))
-    return a_mat
+    zl = jnp.where(bz < 0, bz + m, bz)
+
+    # y one-hot (wy_pad, P), then A = Wx (x) Wy reshaped (w*wy_pad, P)
+    yrows = lax.broadcasted_iota(I32, (wy_pad, p), 0)
+    wy_oh = jnp.zeros((wy_pad, p), F32)
+    for oy in range(w):
+        wy_oh = wy_oh + jnp.where(yrows == ylocal + oy, wyw[oy], F32(0))
+    wxs = jnp.concatenate([wx[a] * valid for a in range(w)], axis=0)  # (w, P)
+    a_mat = (wxs[:, None, :] * wy_oh[None, :, :]).reshape(w * wy_pad, p)
+
+    wz_pad = _round_up(m, 128)
+    zrows = lax.broadcasted_iota(I32, (wz_pad, p), 0)
+    wz_mat = jnp.zeros((wz_pad, p), F32)
+    for oz in range(w):
+        zc = zl + oz
+        zc = jnp.where(zc >= m, zc - m, zc)  # periodic wrap in the one-hot
+        wz_mat = wz_mat + jnp.where(zrows == zc, wzw[oz], F32(0))
+    return a_mat, wz_mat
 
 
 # ---------------------------------------------------------------------------
@@ -217,7 +183,7 @@ def _build_A(scheme, m, w, wy_pad, rows, pos_chunk, yb, valid):
 # ---------------------------------------------------------------------------
 
 def _deposit_kernel(scheme: str, m: int):
-    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
 
     def kernel(starts_ref, pos_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed grid)
@@ -228,80 +194,76 @@ def _deposit_kernel(scheme: str, m: int):
                 end = starts_ref[t + 1]
                 yb = lax.rem(t, jnp.int32(nby))
                 plane = lax.div(t, jnp.int32(nby))
-                win[...] = jnp.zeros((rows, wz_pad), F32)
-                n_chunks = lax.div(end - start, jnp.int32(P_DEP))
+                c0 = lax.div(start, jnp.int32(Q))
+                c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
 
-                def start_dma(c, slot):
-                    off = pl.multiple_of(start + c * P_DEP, Q)
-                    pltpu.make_async_copy(
-                        pos_hbm.at[:, pl.ds(off, P_DEP)],
-                        pos_buf.at[slot],
-                        sem_in.at[slot],
-                    ).start()
-
-                @pl.when(n_chunks > 0)
+                @pl.when(end > start)
                 def _():
-                    start_dma(jnp.int32(0), jnp.int32(0))
+                    win[...] = jnp.zeros((rows, wz_pad), F32)
 
-                def chunk_body(c, _):
-                    slot = lax.rem(c, jnp.int32(2))
-                    # prefetch the next chunk while this one computes
-                    @pl.when(c + 1 < n_chunks)
-                    def _():
-                        start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+                    def start_dma(c, slot):
+                        off = pl.multiple_of(c * Q, Q)
+                        pltpu.make_async_copy(
+                            pos_hbm.at[:, pl.ds(off, Q)],
+                            pos_buf.at[slot],
+                            sem_in.at[slot],
+                        ).start()
 
-                    off = pl.multiple_of(start + c * P_DEP, Q)
-                    pltpu.make_async_copy(
-                        pos_hbm.at[:, pl.ds(off, P_DEP)],
-                        pos_buf.at[slot],
-                        sem_in.at[slot],
-                    ).wait()
-                    chunk = pos_buf[slot]
-                    valid = chunk[3:4, :]  # flag row: 1 real, 0 pad
-                    a_mat = _build_A(
-                        scheme, m, w, wy_pad, rows, chunk, yb, valid
-                    )
-                    zs = chunk[2:3, :] * F32(m)
-                    bz = _base_axis(scheme, zs)
-                    wzw = _axis_weights(scheme, zs, bz)
-                    zl = jnp.where(bz < 0, bz + m, bz)
-                    zrows = lax.broadcasted_iota(I32, (wz_pad, P_DEP), 0)
-                    wz_mat = jnp.zeros((wz_pad, P_DEP), F32)
-                    for oz in range(w):
-                        wz_mat = wz_mat + jnp.where(
-                            zrows == zl + oz, wzw[oz] * valid, F32(0)
+                    start_dma(c0, lax.rem(c0, jnp.int32(2)))
+
+                    def chunk_body(c, _):
+                        slot = lax.rem(c, jnp.int32(2))
+                        # prefetch the next chunk while this one computes
+                        @pl.when(c + 1 < c1)
+                        def _():
+                            start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+
+                        off = pl.multiple_of(c * Q, Q)
+                        pltpu.make_async_copy(
+                            pos_hbm.at[:, pl.ds(off, Q)],
+                            pos_buf.at[slot],
+                            sem_in.at[slot],
+                        ).wait()
+                        chunk = pos_buf[slot]
+                        gi = off + lax.broadcasted_iota(I32, (1, Q), 1)
+                        valid = ((gi >= start) & (gi < end)).astype(F32)
+                        a_mat, wz_mat = _chunk_weights(
+                            scheme, m, w, wy_pad, chunk, yb, valid, Q
                         )
-                    win[...] = win[...] + lax.dot_general(
-                        a_mat, wz_mat, (((1,), (1,)), ((), ())),
-                        preferred_element_type=F32,
-                        precision=lax.Precision.HIGHEST,
-                    )
-                    return 0
+                        win[...] = win[...] + lax.dot_general(
+                            a_mat, wz_mat, (((1,), (1,)), ((), ())),
+                            preferred_element_type=F32,
+                            precision=lax.Precision.HIGHEST,
+                        )
+                        return 0
 
-                lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
-                # read-modify-write the tile's window region of the padded
-                # grid (tiles run sequentially, so no write races)
-                rd = pltpu.make_async_copy(
-                    out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
-                    region, sem_rd,
-                )
-                rd.start()
-                rd.wait()
-                region[...] = region[...] + win[...].reshape(w, wy_pad, wz_pad)
-                wr = pltpu.make_async_copy(
-                    region,
-                    out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
-                    sem_wr,
-                )
-                wr.start()
-                wr.wait()
+                    lax.fori_loop(c0, c1, chunk_body, 0)
+                    # read-modify-write the tile's window region of the
+                    # padded grid (tiles run sequentially: no write races)
+                    rd = pltpu.make_async_copy(
+                        out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                        region, sem_rd,
+                    )
+                    rd.start()
+                    rd.wait()
+                    region[...] = region[...] + win[...].reshape(
+                        w, wy_pad, wz_pad
+                    )
+                    wr = pltpu.make_async_copy(
+                        region,
+                        out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                        sem_wr,
+                    )
+                    wr.start()
+                    wr.wait()
+
                 return 0
 
             lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((2, 4, P_DEP), F32),
+            pos_buf=pltpu.VMEM((2, 4, Q), F32),
             win=pltpu.VMEM((rows, wz_pad), F32),
             region=pltpu.VMEM((w, wy_pad, wz_pad), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
@@ -313,12 +275,8 @@ def _deposit_kernel(scheme: str, m: int):
 
 
 def _fold_padded_grid(gp, m: int):
-    """Fold the padded deposit grid into (M, M, M).
-
-    Pad regions along each axis hold periodic-wrap contributions for the
-    low indices of that axis (the window index ranges guarantee each pad
-    cell wraps exactly once; cells beyond are never written and stay 0).
-    """
+    """Fold the x/y pad regions of the deposit grid periodically and trim
+    the z lane padding; returns (M, M, M)."""
     def fold(arr, axis):
         size = arr.shape[axis]
         head = lax.slice_in_dim(arr, 0, m, axis=axis)
@@ -332,25 +290,22 @@ def _fold_padded_grid(gp, m: int):
             off = hi
         return head
 
-    return fold(fold(fold(gp, 2), 1), 0)
+    return fold(fold(gp, 1), 0)[:, :, :m]
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
-def deposit(position_sorted, flags, tile_starts, ncells_1d: int, scheme: str,
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
             interpret: bool = False) -> jax.Array:
-    """Deposit padded-tile-sorted particles; returns the counts grid.
+    """Deposit tile-sorted column particles; returns the counts grid.
 
-    ``position_sorted``/``flags`` come from :func:`sort_by_tile_padded`
-    (every tile range a multiple of Q, pads flagged 0). The kernel
-    accumulates straight into a padded grid (read-modify-write per tile;
-    safe because tiles run sequentially), so peak memory is one grid.
+    ``position_sorted`` is the (3, N_up) output of :func:`sort_particles`
+    (N_up a multiple of Q). The kernel accumulates straight into a padded
+    grid (read-modify-write per tile; safe because tiles run
+    sequentially), so peak memory is one grid.
     """
     m = ncells_1d
     scheme = scheme.casefold()
-    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    pos_t = (position_sorted if position_sorted.ndim == 2
-             and position_sorted.shape[0] == 4
-             else pack_particles(position_sorted, flags))
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
 
     gp_shape = (m + w - 1, m + wy_pad - YB, wz_pad)
     zeros = jnp.zeros(gp_shape, F32)
@@ -365,7 +320,7 @@ def deposit(position_sorted, flags, tile_starts, ncells_1d: int, scheme: str,
         out_shape=jax.ShapeDtypeStruct(gp_shape, F32),
         input_output_aliases={2: 0},
         interpret=interpret,
-    )(tile_starts, pos_t, zeros)
+    )(tile_starts, position_sorted, zeros)
     return _fold_padded_grid(gp, m)
 
 
@@ -374,124 +329,134 @@ def deposit(position_sorted, flags, tile_starts, ncells_1d: int, scheme: str,
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(scheme: str, m: int, ncomp: int):
-    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
 
-    def kernel(starts_ref, pos_hbm, fext_hbm, out_ref):
-        def run(pos_buf, fwin, out_buf, sem_in, sem_f, sem_out):
+    def kernel(starts_ref, pos_hbm, fext_hbm, zeros_hbm, out_ref):
+        del zeros_hbm  # aliased to out_ref (pre-zeroed output)
+
+        def run(pos_buf, cur_buf, fwin, out_buf, sem_in, sem_cur, sem_f,
+                sem_out):
             def tile_body(t, _):
                 start = starts_ref[t]
                 end = starts_ref[t + 1]
-                yb = lax.rem(t, jnp.int32(nby))
-                plane = lax.div(t, jnp.int32(nby))
-                fdma = pltpu.make_async_copy(
-                    fext_hbm.at[:, pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
-                    fwin,
-                    sem_f,
-                )
-                fdma.start()
-                fdma.wait()
 
-                n_chunks = lax.div(end - start, jnp.int32(P_GAT))
-
-                def start_dma(c, slot):
-                    off = pl.multiple_of(start + c * P_GAT, Q)
-                    pltpu.make_async_copy(
-                        pos_hbm.at[:, pl.ds(off, P_GAT)],
-                        pos_buf.at[slot],
-                        sem_in.at[slot],
-                    ).start()
-
-                @pl.when(n_chunks > 0)
+                @pl.when(end > start)
                 def _():
-                    start_dma(jnp.int32(0), jnp.int32(0))
-
-                def chunk_body(c, _):
-                    slot = lax.rem(c, jnp.int32(2))
-                    # prefetch the next particle chunk during compute
-                    @pl.when(c + 1 < n_chunks)
-                    def _():
-                        start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
-
-                    off = pl.multiple_of(start + c * P_GAT, Q)
-                    pltpu.make_async_copy(
-                        pos_hbm.at[:, pl.ds(off, P_GAT)],
-                        pos_buf.at[slot],
-                        sem_in.at[slot],
-                    ).wait()
-                    chunk = pos_buf[slot]
-                    valid = chunk[3:4, :]  # flag row
-                    a_mat = _build_A(
-                        scheme, m, w, wy_pad, rows, chunk, yb, valid
+                    yb = lax.rem(t, jnp.int32(nby))
+                    plane = lax.div(t, jnp.int32(nby))
+                    c0 = lax.div(start, jnp.int32(Q))
+                    c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
+                    fdma = pltpu.make_async_copy(
+                        fext_hbm.at[
+                            :, pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :
+                        ],
+                        fwin,
+                        sem_f,
                     )
-                    # lane-layout z one-hot weights (WZpad, P)
-                    zs = chunk[2:3, :] * F32(m)
-                    bz = _base_axis(scheme, zs)
-                    wzw = _axis_weights(scheme, zs, bz)
-                    zl = jnp.where(bz < 0, bz + m, bz)
-                    zrows = lax.broadcasted_iota(I32, (wz_pad, P_GAT), 0)
-                    wz_mat = jnp.zeros((wz_pad, P_GAT), F32)
-                    for oz in range(w):
-                        wz_mat = wz_mat + jnp.where(
-                            zrows == zl + oz, wzw[oz], F32(0)
-                        )
-                    # wait for the previous chunk's output write before
-                    # reusing its buffer slot
-                    @pl.when(c >= 2)
-                    def _():
-                        off_prev = pl.multiple_of(
-                            start + (c - 2) * P_GAT, Q
-                        )
+                    fdma.start()
+
+                    def start_dma(c, slot):
+                        off = pl.multiple_of(c * Q, Q)
                         pltpu.make_async_copy(
-                            out_buf.at[slot],
-                            out_ref.at[:, pl.ds(off_prev, P_GAT)],
-                            sem_out.at[slot],
+                            pos_hbm.at[:, pl.ds(off, Q)],
+                            pos_buf.at[slot],
+                            sem_in.at[slot],
+                        ).start()
+                        # current output content (straddle-chunk merge)
+                        pltpu.make_async_copy(
+                            out_ref.at[:, pl.ds(off, Q)],
+                            cur_buf.at[slot],
+                            sem_cur.at[slot],
+                        ).start()
+
+                    start_dma(c0, lax.rem(c0, jnp.int32(2)))
+                    fdma.wait()
+
+                    def chunk_body(c, _):
+                        slot = lax.rem(c, jnp.int32(2))
+                        # prefetch the next particle chunk during compute
+                        @pl.when(c + 1 < c1)
+                        def _():
+                            start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+
+                        off = pl.multiple_of(c * Q, Q)
+                        pltpu.make_async_copy(
+                            pos_hbm.at[:, pl.ds(off, Q)],
+                            pos_buf.at[slot],
+                            sem_in.at[slot],
                         ).wait()
-                    for comp in range(ncomp):
-                        fw = fwin[comp].reshape(rows, wz_pad)
-                        # (WZpad, P) = window^T-contraction with A
-                        t1t = lax.dot_general(
-                            fw, a_mat, (((0,), (0,)), ((), ())),
+                        chunk = pos_buf[slot]
+                        gi = off + lax.broadcasted_iota(I32, (1, Q), 1)
+                        valid = ((gi >= start) & (gi < end)).astype(F32)
+                        a_mat, wz_mat = _chunk_weights(
+                            scheme, m, w, wy_pad, chunk, yb,
+                            jnp.ones((1, Q), F32), Q
+                        )
+                        # one fused MXU dot over all components:
+                        # (C*rows, WZ) x (WZ, P) -> (C*rows, P)
+                        fw = fwin[...].reshape(ncomp * rows, wz_pad)
+                        t1 = lax.dot_general(
+                            fw, wz_mat, (((1,), (0,)), ((), ())),
                             preferred_element_type=F32,
                             precision=lax.Precision.HIGHEST,
+                        ).reshape(ncomp, rows, Q)
+                        vals = jnp.sum(t1 * a_mat[None, :, :], axis=1)
+                        vals = jnp.concatenate(
+                            [vals, jnp.zeros((4 - ncomp, Q), F32)], axis=0
                         )
-                        vals = jnp.sum(
-                            t1t * wz_mat, axis=0, keepdims=True
-                        )  # (1, P)
-                        out_buf[slot, comp:comp + 1, :] = vals
-                    pltpu.make_async_copy(
-                        out_buf.at[slot],
-                        out_ref.at[:, pl.ds(off, P_GAT)],
-                        sem_out.at[slot],
-                    ).start()
-                    return 0
-
-                lax.fori_loop(jnp.int32(0), n_chunks, chunk_body, 0)
-                # drain the last (up to) two output writes
-                def drain(c, _):
-                    @pl.when(c >= jnp.maximum(n_chunks - 2, 0))
-                    def _():
-                        slot = lax.rem(c, jnp.int32(2))
-                        off_d = pl.multiple_of(start + c * P_GAT, Q)
+                        # wait for this slot's previous output write, then
+                        # merge with current content and write back
+                        @pl.when(c >= c0 + 2)
+                        def _():
+                            off_prev = pl.multiple_of((c - 2) * Q, Q)
+                            pltpu.make_async_copy(
+                                out_buf.at[slot],
+                                out_ref.at[:, pl.ds(off_prev, Q)],
+                                sem_out.at[slot],
+                            ).wait()
+                        pltpu.make_async_copy(
+                            out_ref.at[:, pl.ds(off, Q)],
+                            cur_buf.at[slot],
+                            sem_cur.at[slot],
+                        ).wait()
+                        out_buf[slot] = jnp.where(
+                            valid > 0, vals, cur_buf[slot]
+                        )
                         pltpu.make_async_copy(
                             out_buf.at[slot],
-                            out_ref.at[:, pl.ds(off_d, P_GAT)],
+                            out_ref.at[:, pl.ds(off, Q)],
+                            sem_out.at[slot],
+                        ).start()
+                        return 0
+
+                    lax.fori_loop(c0, c1, chunk_body, 0)
+
+                    # drain the last (up to) two output writes before the
+                    # next tile may read the straddling chunk
+                    def drain(c, _):
+                        slot = lax.rem(c, jnp.int32(2))
+                        off_d = pl.multiple_of(c * Q, Q)
+                        pltpu.make_async_copy(
+                            out_buf.at[slot],
+                            out_ref.at[:, pl.ds(off_d, Q)],
                             sem_out.at[slot],
                         ).wait()
-                    return 0
+                        return 0
 
-                lax.fori_loop(
-                    jnp.maximum(n_chunks - 2, 0), n_chunks, drain, 0
-                )
+                    lax.fori_loop(jnp.maximum(c1 - 2, c0), c1, drain, 0)
+
                 return 0
 
             lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((2, 4, P_GAT), F32),
+            pos_buf=pltpu.VMEM((2, 4, Q), F32),
+            cur_buf=pltpu.VMEM((2, 4, Q), F32),
             fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
-            out_buf=pltpu.VMEM((2, 4, P_GAT), F32),
+            out_buf=pltpu.VMEM((2, 4, Q), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
+            sem_cur=pltpu.SemaphoreType.DMA((2,)),
             sem_f=pltpu.SemaphoreType.DMA,
             sem_out=pltpu.SemaphoreType.DMA((2,)),
         )
@@ -499,50 +464,43 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def gather_vec(field, position_sorted, flags, tile_starts, scheme: str,
+@partial(jax.jit, static_argnums=(3, 4))
+def gather_vec(field, position_sorted, tile_starts, scheme: str,
                interpret: bool = False) -> jax.Array:
-    """Interpolate an (M, M, M, C) field at padded-tile-sorted particles.
+    """Interpolate an (M, M, M, C) field at tile-sorted column particles.
 
-    Returns (Ntot, C) values aligned with the sorted rows; pad rows are
-    zeroed via their flags.
+    Returns (4, N_up) values (rows 0..C-1 are the components, the rest
+    zero padding) aligned with the sorted columns; tail/never-touched
+    chunks come back zero (the output aliases a zeros buffer).
     """
     m = field.shape[0]
     ncomp = field.shape[-1]
     scheme = scheme.casefold()
-    w, wy, wy_pad, rows, wz, wz_pad, nby, ntiles = _geometry(m, scheme)
-    ntot = position_sorted.shape[0] if position_sorted.ndim == 2 and position_sorted.shape[1] == 3 else flags.shape[0]
-    pos_t = (position_sorted if position_sorted.shape[0] == 4
-             else pack_particles(position_sorted, flags))
-    npad = pos_t.shape[1]
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+    npad = position_sorted.shape[1]
 
-    # component-leading extended field: slot a of plane key reads plane
-    # (key + a) mod m; y rows yb*YB..+wy_pad-1; z cells 0..wz-1
+    # component-leading extended field: x slot a of plane p reads plane
+    # (p + a) mod m; y rows yb*YB..+wy_pad-1; z cells 0..m-1 (the z wrap
+    # lives in the one-hot, so no z halo)
     fc = jnp.moveaxis(field, -1, 0)  # (C, M, M, M)
     if w > 1:
         fc = jnp.concatenate([fc, fc[:, : w - 1]], axis=1)
-        fc = jnp.concatenate([fc, fc[:, :, :, : w - 1]], axis=3)
     fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
-    fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - fc.shape[3])))
+    if wz_pad > m:
+        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
 
+    zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
         _gather_kernel(scheme, m, ncomp),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((4, npad), F32),
+        input_output_aliases={3: 0},
         interpret=interpret,
-    )(tile_starts, pos_t, fc)
-    vals = out[:ncomp, :ntot].T
-    # leftover pad rows beyond the last tile are never written
-    # (uninitialised); select instead of multiply so NaNs cannot leak
-    return jnp.where(flags[:, None] > 0, vals, F32(0))
-
-
-def plane_starts_from_tile_starts(tile_starts: jax.Array, ncells_1d: int):
-    """Tile keys are plane-major, so plane boundaries are a stride view."""
-    nby = ncells_1d // YB
-    return tile_starts[::nby].astype(I32)
+    )(tile_starts, position_sorted, fc, zeros)
+    return out

@@ -254,15 +254,16 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
 
 
 def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
-             position, velocity, flags, potential, u, dyn: DynScalars):
+             position, velocity, potential, u, dyn: DynScalars):
     """Full PM force evaluation.
 
-    Returns (position, velocity, flags, acceleration, potential, u, pk,
-    overflow). With the dense/pallas engines the particle arrays come back
-    tile-sorted (velocity rides along in the sort; particle identity is
-    irrelevant). The pallas engine keeps the state *persistently padded*
-    (ops/pallas_pm.py): ``flags`` marks real rows (1.0) vs alignment pads
-    (0.0); other engines pass flags through as None.
+    Returns (position, velocity, acceleration, potential, u, pk, overflow).
+    With the dense/pallas engines the particle arrays come back tile-sorted
+    (velocity rides along in the sort; particle identity is irrelevant).
+    The pallas engine keeps the state in **column layout** ``(3, N_up)``
+    (ops/pallas_pm.py) -- ``first_call`` converts from the (npart, 3)
+    row-major initial conditions; sentinel tail columns (position 2.0,
+    zero velocity) round npart up to the chunk quantum.
     """
     n = cfg.ncells_1d
     norm = F32(n ** 3 / cfg.npart)
@@ -271,30 +272,16 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
 
         interpret = jax.default_backend() == "cpu"
         if first_call:
-            # create the persistently padded state
-            extra = pallas_pm.padded_size(cfg.npart, n) - position.shape[0]
-            position = jnp.concatenate(
-                [position, jnp.full((extra, 3), 2.0, F32)]
+            if velocity is None:
+                velocity = jnp.zeros_like(position)
+            position, velocity = pallas_pm.to_columns(
+                position, velocity, cfg.npart
             )
-            flags = jnp.concatenate(
-                [jnp.ones(cfg.npart, F32), jnp.zeros(extra, F32)]
-            )
-            if velocity is not None:
-                velocity = jnp.concatenate(
-                    [velocity, jnp.zeros((extra, 3), F32)]
-                )
-        if velocity is None:
-            position, flags, tstarts = pallas_pm.sort_by_tile_padded(
-                position, flags, n, cfg.mass_scheme
-            )
-        else:
-            position, flags, velocity, tstarts = pallas_pm.sort_by_tile_padded(
-                position, flags, n, cfg.mass_scheme, velocity
-            )
-        # one packed lane-layout copy shared by both kernels
-        pos_packed = pallas_pm.pack_particles(position, flags)
+        position, velocity, tstarts = pallas_pm.sort_particles(
+            position, velocity, n, cfg.mass_scheme
+        )
         density = pallas_pm.deposit(
-            pos_packed, flags, tstarts, n, cfg.mass_scheme, interpret
+            position, tstarts, n, cfg.mass_scheme, interpret
         )
         if n ** 3 != cfg.npart:
             density = density * norm
@@ -302,10 +289,10 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             cfg, first_call, save_pk, density, potential, u, dyn
         )
         acceleration = pallas_pm.gather_vec(
-            force, pos_packed, flags, tstarts, cfg.mass_scheme, interpret
+            force, position, tstarts, cfg.mass_scheme, interpret
         )
-        overflow = jnp.int32(0)  # padded layout cannot overflow
-        return (position, velocity, flags, acceleration, potential, u, pk,
+        overflow = jnp.int32(0)  # range-masked chunks cannot overflow
+        return (position, velocity, acceleration, potential, u, pk,
                 overflow)
     if cfg.particle_engine == "dense":
         if velocity is None:
@@ -336,8 +323,7 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
         )
         acceleration = mesh.gather_vec(force, position, cfg.mass_scheme)
         overflow = jnp.int32(0)
-    return (position, velocity, flags, acceleration, potential, u, pk,
-            overflow)
+    return (position, velocity, acceleration, potential, u, pk, overflow)
 
 
 def _solve_fields(cfg: SolverConfig, first_call: bool, save_pk: bool,
@@ -420,30 +406,42 @@ def force_3d(rhs, param):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
-       position, velocity, potential, u, dyn: DynScalars, flags=None):
+       position, velocity, potential, u, dyn: DynScalars):
     """See :func:`pm_donated` for the buffer-donating production variant."""
     return _pm_impl(
-        cfg, first_call, save_pk, position, velocity, flags, potential, u,
-        dyn
+        cfg, first_call, save_pk, position, velocity, potential, u, dyn
     )
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
 def pm_donated(cfg: SolverConfig, first_call: bool, save_pk: bool,
-               position, velocity, potential, u, dyn: DynScalars,
-               flags=None):
+               position, velocity, potential, u, dyn: DynScalars):
     """Compute PM acceleration.
 
-    Returns (position, velocity, flags, acceleration, potential,
-    additional, pk, overflow); particle arrays may come back reordered
-    (the dense/pallas engines sort them; velocity rides along). ``flags``
-    marks real vs alignment-pad rows for the pallas engine (None
-    otherwise).
+    Returns (position, velocity, acceleration, potential, additional, pk,
+    overflow); particle arrays may come back reordered (the dense/pallas
+    engines sort them; velocity rides along), and the pallas engine keeps
+    them in (3, N_up) column layout -- see :func:`particles_to_rows`.
     """
     return _pm_impl(
-        cfg, first_call, save_pk, position, velocity, flags, potential, u,
-        dyn
+        cfg, first_call, save_pk, position, velocity, potential, u, dyn
     )
+
+
+def particles_to_rows(cfg: SolverConfig, *arrays):
+    """Convert engine-layout particle arrays to (npart, 3) row-major
+    numpy arrays (for snapshot I/O and analysis)."""
+    import numpy as np
+
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        if a.ndim == 2 and a.shape[0] in (3, 4):  # column layout (4, N_up)
+            a = a[:3, : cfg.npart].T
+        else:
+            a = a[: cfg.npart]
+        out.append(a)
+    return tuple(out)
 
 
 def empty_fields(cfg: SolverConfig):

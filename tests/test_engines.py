@@ -28,17 +28,12 @@ def test_engines_agree(scheme):
         cfg = solver_mod.config_from_param(param)
         dyn = solver_mod.compute_dynamics(param)
         phi0, u0 = solver_mod.empty_fields(cfg)
-        p, v, flg, acc, phi, u, _, overflow = solver_mod.pm(
+        p, v, acc, phi, u, _, overflow = solver_mod.pm(
             cfg, True, False, jnp.asarray(pos), jnp.asarray(vel), phi0, u0, dyn
         )
         assert int(overflow) == 0
-        if flg is not None:
-            real = np.array(flg) > 0
-            p = jnp.asarray(np.array(p)[real])
-            v = jnp.asarray(np.array(v)[real])
-            acc = jnp.asarray(np.array(acc)[real])
         # canonical ordering for cross-engine comparison
-        p, v, acc = np.array(p), np.array(v), np.array(acc)
+        p, v, acc = solver_mod.particles_to_rows(cfg, p, v, acc)
         order = np.lexsort((p[:, 2], p[:, 1], p[:, 0]))
         results[engine] = (p[order], acc[order], np.array(phi))
 

@@ -29,7 +29,7 @@ def _setup(engine):
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     phi0, u0 = solver_mod.empty_fields(cfg)
-    pos, vel, _, acc, phi, u, _, _ = solver_mod.pm(
+    pos, vel, acc, phi, u, _, _ = solver_mod.pm(
         cfg, True, False, jnp.asarray(pos), jnp.asarray(vel), phi0, u0, dyn
     )
     return cfg, dyn, pos, vel, acc, phi, u
@@ -79,7 +79,7 @@ def test_sharded_step_matches_single_device(engine):
 def test_sharded_step_multigrid():
     cfg, dyn, pos, vel, acc, phi, u = _setup("dense")
     cfg_mg = dataclasses.replace(cfg, linear_newton_solver="multigrid")
-    pos, vel, _, acc0, phi0, u0, _, _ = solver_mod.pm(
+    pos, vel, acc0, phi0, u0, _, _ = solver_mod.pm(
         cfg_mg, True, False, pos, vel, *solver_mod.empty_fields(cfg_mg), dyn
     )
     dt = np.float32(5e-3)

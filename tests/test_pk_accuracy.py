@@ -29,19 +29,15 @@ def _run_engine(engine, nsteps=8):
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     phi0, u0 = solver_mod.empty_fields(cfg)
-    pos_j, vel_j, flags, acc, phi, u, _, _ = solver_mod.pm(
+    pos_j, vel_j, acc, phi, u, _, _ = solver_mod.pm(
         cfg, True, False, jnp.asarray(pos), jnp.asarray(vel), phi0, u0, dyn
     )
     state = (pos_j, vel_j, acc, phi, u)
     dt = np.float32(2e-3)
     for _ in range(nsteps):
-        out = integrate.step(
-            cfg, "leapfrog", False, False, *state, dyn, dt, flags
-        )
-        state, flags = out[:5], out[7]
-    pos_f = np.array(state[0])
-    if flags is not None:
-        pos_f = pos_f[np.array(flags) > 0]
+        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt)
+        state = out[:5]
+    (pos_f,) = solver_mod.particles_to_rows(cfg, state[0])
     # density P(k) of the final particle distribution (scatter deposit so
     # the measurement itself is engine-independent)
     dens = mesh.deposit(jnp.asarray(pos_f), n, "tsc")

@@ -92,14 +92,11 @@ def test_pm_newton_fft_matches_float64_oracle(scheme):
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     phi0, u0 = solver_mod.empty_fields(cfg)
-    pos_out, _, flags, acc, _, _, _, overflow = solver_mod.pm(
+    pos_out, _, acc, _, _, _, overflow = solver_mod.pm(
         cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
     )
     assert int(overflow) == 0
-    pos_out, acc = np.array(pos_out), np.array(acc)
-    if flags is not None:  # drop the padded engine's alignment-pad rows
-        real = np.array(flags) > 0
-        pos_out, acc = pos_out[real], acc[real]
+    pos_out, acc = solver_mod.particles_to_rows(cfg, pos_out, acc)
 
     # the sorted engines permute particles; evaluate the oracle at the
     # returned positions
@@ -127,12 +124,10 @@ def test_pm_multigrid_matches_fft7pt():
         cfg = solver_mod.config_from_param(param)
         dyn = solver_mod.compute_dynamics(param)
         phi0, u0 = solver_mod.empty_fields(cfg)
-        _, _, flags, acc, _, _, _, _ = solver_mod.pm(
+        _, _, acc, _, _, _, _ = solver_mod.pm(
             cfg, True, False, jnp.asarray(pos), None, phi0, u0, dyn
         )
-        acc = np.array(acc)
-        if flags is not None:
-            acc = acc[np.array(flags) > 0]
+        (acc,) = solver_mod.particles_to_rows(cfg, acc)
         accs[solver_name] = acc
     scale = np.abs(accs["fft_7pt"]).max()
     np.testing.assert_allclose(
