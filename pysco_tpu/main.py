@@ -98,7 +98,14 @@ def run(param) -> None:
     integrator = str(param["integrator"]).casefold()
     pk_mode = _save_pk_mode(param)
 
-    # Device state
+    # Device state. For the pallas engine, build the (4, N_up) column
+    # layout on the host so HBM never holds both layouts at once.
+    if cfg.particle_engine == "pallas":
+        from .ops import pallas_pm
+
+        position, velocity = pallas_pm.to_columns_host(
+            np.asarray(position), np.asarray(velocity), cfg.npart
+        )
     position = jnp.asarray(position, jnp.float32)
     velocity = jnp.asarray(velocity, jnp.float32)
     potential, u = solver_mod.empty_fields(cfg)

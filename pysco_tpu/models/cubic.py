@@ -114,24 +114,51 @@ def truncation_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
     return jnp.sqrt(jnp.sum(t * t))
 
 
+def _newton_root(x: jax.Array, p: jax.Array, c0, iters: int = 3) -> jax.Array:
+    """Polish the root of u^3 + p u + c0 = 0 by float32 Newton from seed x.
+
+    In Gauss-Seidel sweeps the current grid value is already close to the
+    cell root (it WAS the root of last sweep's slightly different cubic),
+    so 3 Newton steps reach float32 roundoff without the reference's
+    float64 Cardano branches (cubic.py:162-207) -- which on TPU cost
+    emulated-f64 cbrt/arccos/cos per cell per half-sweep.
+    """
+    for _ in range(iters):
+        f = x * (x * x + p) + c0
+        fp = F32(3) * x * x + p
+        fp = jnp.where(jnp.abs(fp) < F32(1e-12), F32(1e-12), fp)
+        x = x - f / fp
+    return x
+
+
 def gauss_seidel(
-    x: jax.Array, b: jax.Array, q, rhs=None, f_relax: float = F_RELAX
+    x: jax.Array, b: jax.Array, q, rhs=None, f_relax: float = F_RELAX,
+    exact_root: bool = False,
 ) -> jax.Array:
-    """One red-black sweep of the nonlinear cubic Gauss-Seidel."""
+    """One red-black sweep of the nonlinear cubic Gauss-Seidel.
+
+    ``exact_root=True`` uses the float64 closed-form Cardano root (the
+    reference's method); the default Newton polish matches it to float32
+    roundoff at a fraction of the cost (see tests/test_scalaron.py).
+    """
     n = x.shape[0]
     h2 = 1.0 / (n * n)
-    d1_q = 27.0 * h2 * jnp.asarray(q, F64)
     fr = F32(f_relax)
     parity = _parity(n)
-    if rhs is None:
-        d1 = d1_q
+    if exact_root:
+        d1_q = 27.0 * h2 * jnp.asarray(q, F64)
+        d1 = d1_q if rhs is None else d1_q - 27.0 * rhs.astype(F64)
     else:
-        d1 = d1_q - 27.0 * rhs.astype(F64)
+        c0_q = F32(h2) * jnp.asarray(q, F32)
+        c0 = c0_q if rhs is None else c0_q - rhs
 
     def half(i, x):
         mask = parity == (1 - i)
         p = _p_term(x, b)
-        x_new = solution_cubic_equation(p, d1).astype(F32)
+        if exact_root:
+            x_new = solution_cubic_equation(p, d1).astype(F32)
+        else:
+            x_new = _newton_root(x, p, c0)
         return jnp.where(mask, x + fr * (x_new - x), x)
 
     if jax.default_backend() == "tpu":
@@ -140,11 +167,14 @@ def gauss_seidel(
     return half(1, half(0, x))
 
 
-def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None) -> jax.Array:
+def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None,
+              exact_root: bool = False) -> jax.Array:
     if jax.default_backend() == "tpu":
         return jax.lax.fori_loop(
-            0, n_smoothing, lambda _, xc: gauss_seidel(xc, b, q, rhs), x
+            0, n_smoothing,
+            lambda _, xc: gauss_seidel(xc, b, q, rhs, exact_root=exact_root),
+            x,
         )
     for _ in range(n_smoothing):
-        x = gauss_seidel(x, b, q, rhs)
+        x = gauss_seidel(x, b, q, rhs, exact_root=exact_root)
     return x

@@ -101,9 +101,9 @@ def fas_ops_laplacian() -> FASOps:
     )
 
 
-def fas_ops_cubic(q) -> FASOps:
+def fas_ops_cubic(q, exact_root: bool = False) -> FASOps:
     def smoothing(x, b, n, rhs=None):
-        return cubic_mod.smoothing(x, b, q, n, rhs)
+        return cubic_mod.smoothing(x, b, q, n, rhs, exact_root=exact_root)
 
     def operator(x, b):
         return cubic_mod.operator(x, b, q)
@@ -122,9 +122,9 @@ def fas_ops_cubic(q) -> FASOps:
     )
 
 
-def fas_ops_quartic(q) -> FASOps:
+def fas_ops_quartic(q, exact_root: bool = False) -> FASOps:
     def smoothing(x, b, n, rhs=None):
-        return quartic_mod.smoothing(x, b, q, n, rhs)
+        return quartic_mod.smoothing(x, b, q, n, rhs, exact_root=exact_root)
 
     def operator(x, b):
         return quartic_mod.operator(x, b, q)

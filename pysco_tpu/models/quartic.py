@@ -112,27 +112,48 @@ def truncation_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
     return jnp.sqrt(jnp.sum(t * t))
 
 
+def _newton_root(x: jax.Array, p: jax.Array, c0, iters: int = 3) -> jax.Array:
+    """Polish the root of u^4 + p u + c0 = 0 by float32 Newton from seed x
+    (same rationale as cubic._newton_root: the grid value is the previous
+    sweep's root, so a few steps reach float32 roundoff)."""
+    for _ in range(iters):
+        x2 = x * x
+        f = x2 * x2 + p * x + c0
+        fp = F32(4) * x2 * x + p
+        fp = jnp.where(jnp.abs(fp) < F32(1e-12), F32(1e-12), fp)
+        x = x - f / fp
+    return x
+
+
 def gauss_seidel(
-    x: jax.Array, b: jax.Array, q, rhs=None, f_relax: float = F_RELAX
+    x: jax.Array, b: jax.Array, q, rhs=None, f_relax: float = F_RELAX,
+    exact_root: bool = False,
 ) -> jax.Array:
     """One red-black sweep of the nonlinear quartic Gauss-Seidel.
 
     The cell equation with FAS rhs is u^4 + p u + (q h^2 - rhs) = 0.
+    ``exact_root=True`` uses the float64 resolvent-cubic closed form (the
+    reference's method, quartic.py:157-204); the default Newton polish
+    matches it to float32 roundoff at a fraction of the cost.
     """
     n = x.shape[0]
     h2 = 1.0 / (n * n)
-    q_eff_base = h2 * jnp.asarray(q, F64)
     fr = F32(f_relax)
     parity = _parity(n)
-    if rhs is None:
-        q_eff = q_eff_base
+    if exact_root:
+        q_eff_base = h2 * jnp.asarray(q, F64)
+        q_eff = q_eff_base if rhs is None else q_eff_base - rhs.astype(F64)
     else:
-        q_eff = q_eff_base - rhs.astype(F64)
+        c0_q = F32(h2) * jnp.asarray(q, F32)
+        c0 = c0_q if rhs is None else c0_q - rhs
 
     def half(i, x):
         mask = parity == (1 - i)
         p = _p_term(x, b)
-        x_new = solution_quartic_equation(p, q_eff).astype(F32)
+        if exact_root:
+            x_new = solution_quartic_equation(p, q_eff).astype(F32)
+        else:
+            x_new = _newton_root(x, p, c0)
         return jnp.where(mask, x + fr * (x_new - x), x)
 
     if jax.default_backend() == "tpu":
@@ -141,11 +162,14 @@ def gauss_seidel(
     return half(1, half(0, x))
 
 
-def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None) -> jax.Array:
+def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None,
+              exact_root: bool = False) -> jax.Array:
     if jax.default_backend() == "tpu":
         return jax.lax.fori_loop(
-            0, n_smoothing, lambda _, xc: gauss_seidel(xc, b, q, rhs), x
+            0, n_smoothing,
+            lambda _, xc: gauss_seidel(xc, b, q, rhs, exact_root=exact_root),
+            x,
         )
     for _ in range(n_smoothing):
-        x = gauss_seidel(x, b, q, rhs)
+        x = gauss_seidel(x, b, q, rhs, exact_root=exact_root)
     return x

@@ -75,14 +75,18 @@ def padded_cols(npart: int) -> int:
     return _round_up(npart, Q)
 
 
-def _geometry(ncells_1d: int, scheme: str):
+def _geometry(ncells_1d: int, scheme: str, n_planes: int | None = None):
+    """Kernel geometry; ``n_planes`` is the local x extent (= ncells_1d on
+    a single device, the slab height under sharding)."""
+    if n_planes is None:
+        n_planes = ncells_1d
     w = _WIDTH[scheme.casefold()]
     wy = YB + w - 1
     wy_pad = _round_up(wy, 8)  # Mosaic slice shapes must be tile-aligned
     rows = w * wy_pad
     wz_pad = _round_up(ncells_1d, 128)
     nby = ncells_1d // YB
-    ntiles = ncells_1d * nby
+    ntiles = n_planes * nby
     return w, wy, wy_pad, rows, wz_pad, nby, ntiles
 
 
@@ -103,19 +107,46 @@ def to_columns(position, velocity, npart: int):
     return pos, vel
 
 
-def tile_keys(position, ncells_1d: int, scheme: str) -> jax.Array:
-    """(N_up,) i32 tile id per column; sentinel tail keys to ntiles."""
+def to_columns_host(position, velocity, npart: int):
+    """NumPy variant of :func:`to_columns` (host-side, for large states:
+    uploading the column layout directly avoids holding both layouts in
+    HBM during the first force evaluation)."""
+    import numpy as np
+
+    n_up = padded_cols(npart)
+    pos = np.full((4, n_up), SENTINEL, np.float32)
+    pos[:3, :npart] = np.asarray(position, np.float32).T
+    pos[3] = 0.0
+    vel = np.zeros((4, n_up), np.float32)
+    vel[:3, :npart] = np.asarray(velocity, np.float32).T
+    return pos, vel
+
+
+def tile_keys(position, ncells_1d: int, scheme: str, plane0=0,
+              n_planes: int | None = None) -> jax.Array:
+    """(N_up,) i32 tile id per column; sentinel tail keys past the last
+    tile. Under slab sharding ``plane0``/``n_planes`` select the local
+    x-plane range (tile id is slab-local; out-of-slab planes also key past
+    the end, so foreign particles are dropped rather than misbinned)."""
     m = ncells_1d
+    if n_planes is None:
+        n_planes = m
     nby = m // YB
+    ntiles = n_planes * nby
     xs = position[0] * F32(m)
     ys = position[1] * F32(m)
     px = _base_axis(scheme, xs) % m
     py = (_base_axis(scheme, ys) % m) // YB
-    key = (px * nby + py).astype(I32)
-    return jnp.where(position[0] >= F32(SENTINEL_MIN), I32(m * nby), key)
+    p_loc = px - plane0
+    key = (p_loc * nby + py).astype(I32)
+    bad = (position[0] >= F32(SENTINEL_MIN)) | (p_loc < 0) | (
+        p_loc >= n_planes
+    )
+    return jnp.where(bad, I32(ntiles), key)
 
 
-def sort_particles(position, velocity, ncells_1d: int, scheme: str):
+def sort_particles(position, velocity, ncells_1d: int, scheme: str,
+                   plane0=0, n_planes: int | None = None):
     """Tile-sort the column state; returns (pos, vel, tile_starts).
 
     One 7-operand ``lax.sort`` per force evaluation; ``tile_starts`` has
@@ -124,8 +155,10 @@ def sort_particles(position, velocity, ncells_1d: int, scheme: str):
     kernels mask at chunk granularity instead.
     """
     m = ncells_1d
-    ntiles = m * (m // YB)
-    key = tile_keys(position, m, scheme)
+    if n_planes is None:
+        n_planes = m
+    ntiles = n_planes * (m // YB)
+    key = tile_keys(position, m, scheme, plane0, n_planes)
     ops = lax.sort(
         (key, position[0], position[1], position[2],
          velocity[0], velocity[1], velocity[2]),
@@ -182,8 +215,8 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p):
 # Deposit
 # ---------------------------------------------------------------------------
 
-def _deposit_kernel(scheme: str, m: int):
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+def _deposit_kernel(scheme: str, m: int, n_planes: int):
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme, n_planes)
 
     def kernel(starts_ref, pos_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed grid)
@@ -274,43 +307,41 @@ def _deposit_kernel(scheme: str, m: int):
     return kernel
 
 
-def _fold_padded_grid(gp, m: int):
-    """Fold the x/y pad regions of the deposit grid periodically and trim
-    the z lane padding; returns (M, M, M)."""
-    def fold(arr, axis):
-        size = arr.shape[axis]
-        head = lax.slice_in_dim(arr, 0, m, axis=axis)
-        off = m
-        while off < size:
-            hi = min(off + m, size)
-            piece = lax.slice_in_dim(arr, off, hi, axis=axis)
-            idx = [slice(None)] * arr.ndim
-            idx[axis] = slice(0, hi - off)
-            head = head.at[tuple(idx)].add(piece)
-            off = hi
-        return head
-
-    return fold(fold(gp, 1), 0)[:, :, :m]
+def _fold_axis(arr, axis, m):
+    """Fold pad cells beyond index m back onto the start (periodic wrap)."""
+    size = arr.shape[axis]
+    head = lax.slice_in_dim(arr, 0, m, axis=axis)
+    off = m
+    while off < size:
+        hi = min(off + m, size)
+        piece = lax.slice_in_dim(arr, off, hi, axis=axis)
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(0, hi - off)
+        head = head.at[tuple(idx)].add(piece)
+        off = hi
+    return head
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
-            interpret: bool = False) -> jax.Array:
-    """Deposit tile-sorted column particles; returns the counts grid.
+def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
+                 interpret: bool = False,
+                 n_planes: int | None = None) -> jax.Array:
+    """Deposit tile-sorted column particles onto the local x-slab.
 
-    ``position_sorted`` is the (3, N_up) output of :func:`sort_particles`
-    (N_up a multiple of Q). The kernel accumulates straight into a padded
-    grid (read-modify-write per tile; safe because tiles run
-    sequentially), so peak memory is one grid.
+    Returns the y-folded, z-trimmed padded slab (n_planes + w - 1, M, M):
+    the trailing w-1 x-planes are the rightward window spill the caller
+    must add to the next slab (periodic wrap on a single device --
+    :func:`deposit` does that fold).
     """
     m = ncells_1d
+    if n_planes is None:
+        n_planes = m
     scheme = scheme.casefold()
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme, n_planes)
 
-    gp_shape = (m + w - 1, m + wy_pad - YB, wz_pad)
+    gp_shape = (n_planes + w - 1, m + wy_pad - YB, wz_pad)
     zeros = jnp.zeros(gp_shape, F32)
     gp = pl.pallas_call(
-        _deposit_kernel(scheme, m),
+        _deposit_kernel(scheme, m, n_planes),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -321,15 +352,25 @@ def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
         input_output_aliases={2: 0},
         interpret=interpret,
     )(tile_starts, position_sorted, zeros)
-    return _fold_padded_grid(gp, m)
+    return _fold_axis(gp, 1, m)[:, :, :m]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
+            interpret: bool = False) -> jax.Array:
+    """Deposit tile-sorted column particles; returns the (M, M, M) counts
+    grid (single device: the x spill wraps periodically)."""
+    gp = deposit_slab(position_sorted, tile_starts, ncells_1d, scheme,
+                      interpret)
+    return _fold_axis(gp, 0, ncells_1d)
 
 
 # ---------------------------------------------------------------------------
 # Gather
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(scheme: str, m: int, ncomp: int):
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme, n_planes)
 
     def kernel(starts_ref, pos_hbm, fext_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed output)
@@ -464,34 +505,39 @@ def _gather_kernel(scheme: str, m: int, ncomp: int):
     return kernel
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def gather_vec(field, position_sorted, tile_starts, scheme: str,
-               interpret: bool = False) -> jax.Array:
-    """Interpolate an (M, M, M, C) field at tile-sorted column particles.
+def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
+                    interpret: bool = False) -> jax.Array:
+    """Interpolate a pre-extended local slab field at tile-sorted column
+    particles.
 
-    Returns (4, N_up) values (rows 0..C-1 are the components, the rest
-    zero padding) aligned with the sorted columns; tail/never-touched
-    chunks come back zero (the output aliases a zeros buffer).
+    ``field_ext`` is (n_planes + w - 1, M, M, C): the local slab planes
+    plus the w-1 rightward halo planes (wrapped on a single device,
+    fetched from the right neighbour under sharding). Returns (4, N_up)
+    values (rows 0..C-1 are the components, the rest zero padding)
+    aligned with the sorted columns; tail/never-touched chunks come back
+    zero (the output aliases a zeros buffer).
     """
-    m = field.shape[0]
-    ncomp = field.shape[-1]
+    m = field_ext.shape[1]
+    ncomp = field_ext.shape[-1]
     scheme = scheme.casefold()
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+    w = _WIDTH[scheme]
+    n_planes = field_ext.shape[0] - (w - 1)
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+        m, scheme, n_planes
+    )
     npad = position_sorted.shape[1]
 
-    # component-leading extended field: x slot a of plane p reads plane
-    # (p + a) mod m; y rows yb*YB..+wy_pad-1; z cells 0..m-1 (the z wrap
-    # lives in the one-hot, so no z halo)
-    fc = jnp.moveaxis(field, -1, 0)  # (C, M, M, M)
-    if w > 1:
-        fc = jnp.concatenate([fc, fc[:, : w - 1]], axis=1)
+    # component-leading extended field: x slot a of local plane p reads
+    # extended plane p + a; y rows yb*YB..+wy_pad-1; z cells 0..m-1 (the
+    # z wrap lives in the one-hot, so no z halo)
+    fc = jnp.moveaxis(field_ext, -1, 0)  # (C, n_planes + w - 1, M, M)
     fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
     if wz_pad > m:
         fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp),
+        _gather_kernel(scheme, m, ncomp, n_planes),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -504,3 +550,17 @@ def gather_vec(field, position_sorted, tile_starts, scheme: str,
         interpret=interpret,
     )(tile_starts, position_sorted, fc, zeros)
     return out
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def gather_vec(field, position_sorted, tile_starts, scheme: str,
+               interpret: bool = False) -> jax.Array:
+    """Interpolate an (M, M, M, C) field at tile-sorted column particles
+    (single device: the x halo wraps periodically)."""
+    w = _WIDTH[scheme.casefold()]
+    field_ext = (
+        jnp.concatenate([field, field[: w - 1]], axis=0) if w > 1 else field
+    )
+    return gather_vec_slab(
+        field_ext, position_sorted, tile_starts, scheme, interpret
+    )

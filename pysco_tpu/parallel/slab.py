@@ -1,0 +1,476 @@
+"""Slab-decomposed SPMD PM step: grids AND particles sharded over ICI.
+
+The scaling mode of the framework (the reference is single-node with no
+domain decomposition at all, README.md:49; this module is the genuinely
+new axis). The 3D mesh is sharded in x-slabs of ``M / D`` planes over a
+1-D device mesh; each device owns the particles whose mass-assignment
+base plane falls in its slab, runs the Pallas tile engine on its local
+slab, and the field solve is a distributed pencil FFT:
+
+- deposit: local tile-binned Pallas deposit -> the w-1 rightward spill
+  planes travel to the next slab with one ``ppermute`` (the slab analogue
+  of the single-device periodic fold);
+- Poisson: rfft over the local (y, z) axes, one ``all_to_all`` transpose
+  so x becomes local, fft over x, the k-space kernel with slab-offset
+  wavenumbers, and the inverse chain back -- XLA routes the all-to-alls
+  over ICI;
+- force: 5-point gradient with a 2-plane ``ppermute`` halo exchange in x
+  (y/z are local rolls);
+- gather: local Pallas gather from the slab extended by the w-1 halo
+  planes of the right neighbour;
+- particle migration: after the drift, particles whose base plane moved
+  into a neighbouring slab (the CFL bound keeps it to +-1 plane per step)
+  are packed into fixed-capacity buffers and exchanged with two
+  ``ppermute``s; arrivals are concatenated ahead of the local tile sort,
+  which re-integrates them (and pushes sentinels past the end, so the
+  post-sort truncation back to the static per-shard capacity only ever
+  drops empty slots -- a nonzero ``lost`` diagnostic flags capacity
+  overflow).
+
+Per-device memory and solve time scale with 1/D for every term: particle
+state, grids, FFT, stencils, transfer kernels.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import solver as solver_mod
+from ..integrate import StepDiagnostics
+from ..ops import pallas_pm
+from ..ops.dense_pm import _WIDTH, _base_axis
+from ..solver import DynScalars, SolverConfig
+
+F32 = jnp.float32
+I32 = jnp.int32
+C64 = jnp.complex64
+
+AXIS = "dp"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(devices, axis_names=(AXIS,))
+
+
+# ---------------------------------------------------------------------------
+# Distributed pencil FFT + slab k-space kernels
+# ---------------------------------------------------------------------------
+
+def rfft3_slab(x_local: jax.Array, n_dev: int) -> jax.Array:
+    """rfftn of an x-slab-sharded real grid.
+
+    In: (P, M, M) local slab. Out: (M, M/D, M/2+1) local pencil --
+    x fully local, y sharded. One all-to-all over ICI does the transpose.
+    """
+    xk = jnp.fft.rfft(x_local.astype(F32), axis=2).astype(C64)
+    xk = jnp.fft.fft(xk, axis=1)
+    xk = lax.all_to_all(xk, AXIS, split_axis=1, concat_axis=0, tiled=True)
+    return jnp.fft.fft(xk, axis=0)
+
+
+def irfft3_slab(xk: jax.Array, m: int) -> jax.Array:
+    """Inverse of :func:`rfft3_slab`: (M, M/D, M/2+1) -> (P, M, M)."""
+    xk = jnp.fft.ifft(xk, axis=0)
+    xk = lax.all_to_all(xk, AXIS, split_axis=0, concat_axis=1, tiled=True)
+    xk = jnp.fft.ifft(xk, axis=1)
+    return jnp.fft.irfft(xk, n=m, axis=2).astype(F32)
+
+
+def _wavenumbers_slab(m: int, ny_local: int):
+    """Integer wavenumbers for the (M, M/D, M/2+1) pencil layout; the y
+    axis is offset by this device's slab position."""
+    r = lax.axis_index(AXIS)
+    k_full = (jnp.arange(m, dtype=I32) + m // 2) % m - m // 2
+    kx = k_full.astype(F32)[:, None, None]
+    y_ids = r * ny_local + jnp.arange(ny_local, dtype=I32)
+    ky = (((y_ids + m // 2) % m - m // 2).astype(F32))[None, :, None]
+    kz = jnp.arange(m // 2 + 1, dtype=I32).astype(F32)[None, None, :]
+    return kx, ky, kz
+
+
+def inverse_laplacian_slab(xk: jax.Array, m: int, p: int) -> jax.Array:
+    """-1/(4 pi^2 k^2) with optional Jing sinc^-2p MAS compensation, on the
+    pencil layout (DC mode zeroed on whichever shard holds it)."""
+    kx, ky, kz = _wavenumbers_slab(m, xk.shape[1])
+    k2 = kx * kx + ky * ky + kz * kz
+    dc = (kx == 0) & (ky == 0) & (kz == 0)
+    k2 = jnp.where(dc, F32(1), k2)
+    ratio = F32(-0.25 / jnp.pi ** 2) / k2
+    if p:
+        h = F32(1.0 / m)
+        w = jnp.sinc(kx * h) * jnp.sinc(ky * h) * jnp.sinc(kz * h)
+        ratio = ratio * w ** (-2 * p)
+    return jnp.where(dc, jnp.complex64(0), xk * ratio)
+
+
+def inverse_laplacian_7pt_slab(xk: jax.Array, m: int) -> jax.Array:
+    """Exact inverse of the discrete 7-point Laplacian (pencil layout)."""
+    kx, ky, kz = _wavenumbers_slab(m, xk.shape[1])
+    pi_h = F32(jnp.pi / m)
+    f = (
+        jnp.sin(pi_h * kx) ** 2
+        + jnp.sin(pi_h * ky) ** 2
+        + jnp.sin(pi_h * kz) ** 2
+    )
+    dc = (kx == 0) & (ky == 0) & (kz == 0)
+    f = jnp.where(dc, F32(1), f)
+    h2 = F32(1.0 / (m * m))
+    return jnp.where(dc, jnp.complex64(0), xk * (F32(-0.25) * h2 / f))
+
+
+def power_spectrum_slab(xk: jax.Array, m: int, p: int):
+    """Binned P(k) on the pencil layout; bin sums are psum'd over shards.
+    Same estimator as fourier.power_spectrum (reference fourier.py:22-100).
+    """
+    kx, ky, kz = _wavenumbers_slab(m, xk.shape[1])
+    k_norm = jnp.sqrt(kx * kx + ky * ky + kz * kz)
+    k_index = (k_norm + F32(0.5)).astype(I32)
+    if p != 0:
+        h = F32(1.0 / m)
+        w = jnp.sinc(kx * h) * jnp.sinc(ky * h) * jnp.sinc(kz * h)
+        amp = xk * w ** (-p)
+    else:
+        amp = xk
+    delta2 = amp.real ** 2 + amp.imag ** 2
+    dc = (kx == 0) & (ky == 0) & (kz == 0)
+    delta2 = jnp.where(dc, F32(0), delta2)
+    weight = jnp.where(dc, F32(0), jnp.ones_like(delta2))
+    idx = k_index.ravel()
+    nmodes = jnp.zeros((m,), F32).at[idx].add(weight.ravel())
+    ksum = jnp.zeros((m,), F32).at[idx].add((k_norm * weight).ravel())
+    pksum = jnp.zeros((m,), F32).at[idx].add(delta2.ravel())
+    nmodes = lax.psum(nmodes, AXIS)
+    ksum = lax.psum(ksum, AXIS)
+    pksum = lax.psum(pksum, AXIS)
+    kmax = int(2 * (m // 2) / 3)
+    sl = slice(1, kmax)
+    safe = jnp.maximum(nmodes[sl], F32(1))
+    return ksum[sl] / safe, pksum[sl] / safe, nmodes[sl]
+
+
+# ---------------------------------------------------------------------------
+# Halo exchange + slab stencils
+# ---------------------------------------------------------------------------
+
+def _perm_fwd(n_dev: int):
+    return [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+
+def _perm_bwd(n_dev: int):
+    return [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+
+def exchange_halo_x(f_local: jax.Array, h: int, n_dev: int) -> jax.Array:
+    """(P, M, M[, C]) -> (P + 2h, ...): h wrapped planes from each side."""
+    from_left = lax.ppermute(f_local[-h:], AXIS, _perm_fwd(n_dev))
+    from_right = lax.ppermute(f_local[:h], AXIS, _perm_bwd(n_dev))
+    return jnp.concatenate([from_left, f_local, from_right], axis=0)
+
+
+def halo_right(f_local: jax.Array, h: int, n_dev: int) -> jax.Array:
+    """(P, ...) -> (P + h, ...): h planes fetched from the right neighbour."""
+    from_right = lax.ppermute(f_local[:h], AXIS, _perm_bwd(n_dev))
+    return jnp.concatenate([f_local, from_right], axis=0)
+
+
+def add_spill_right(gp: jax.Array, n_planes: int, n_dev: int) -> jax.Array:
+    """Fold a deposit slab's rightward spill planes onto the next shard.
+
+    ``gp`` is (n_planes + s, M, M); the trailing s planes belong to the
+    right neighbour's first s planes.
+    """
+    s = gp.shape[0] - n_planes
+    if s == 0:
+        return gp
+    spill = lax.ppermute(gp[n_planes:], AXIS, _perm_fwd(n_dev))
+    return gp[:n_planes].at[:s].add(spill)
+
+
+def derivative_slab(phi_local: jax.Array, order: int, n_dev: int) -> jax.Array:
+    """Gradient stencil on an x-slab (same maths as mesh.derivative;
+    reference mesh.py:639-851): x via halo-exchanged slices, y/z via rolls.
+    """
+    m = phi_local.shape[1]
+    h = {2: 1, 3: 1, 5: 2, 7: 3}[order]
+    ext = exchange_halo_x(phi_local, h, n_dev)  # (P + 2h, M, M)
+    p = phi_local.shape[0]
+
+    def sx(shift):  # ext plane slice displaced by `shift` cells
+        return lax.dynamic_slice_in_dim(ext, h + shift, p, axis=0)
+
+    def sy(shift):
+        return jnp.roll(phi_local, -shift, axis=1)
+
+    def sz(shift):
+        return jnp.roll(phi_local, -shift, axis=2)
+
+    comps = []
+    for sfn in (sx, sy, sz):
+        if order == 2:
+            # two-point forward difference (reference derivative2)
+            d = F32(m) * (sfn(1) - sfn(0))
+        elif order == 3:
+            d = F32(0.5 * m) * (sfn(1) - sfn(-1))
+        elif order == 5:
+            d = F32(m / 12.0) * (
+                F32(8) * (sfn(1) - sfn(-1)) + (sfn(-2) - sfn(2))
+            )
+        elif order == 7:
+            d = F32(m / 60.0) * (
+                F32(45) * (sfn(1) - sfn(-1))
+                + F32(9) * (sfn(-2) - sfn(2))
+                + (sfn(3) - sfn(-3))
+            )
+        else:
+            raise NotImplementedError(f"gradient order {order}")
+        comps.append(d)
+    return jnp.stack(comps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Particle migration
+# ---------------------------------------------------------------------------
+
+def migrate(pos, vel, m: int, planes_per_shard: int, cap: int, n_dev: int,
+            scheme: str):
+    """Exchange particles whose base plane left the local slab.
+
+    The CFL drift bound keeps migration to adjacent slabs (one plane per
+    step); anything farther is counted in ``lost`` (and dropped), which a
+    healthy run never triggers. Returns (pos, vel, lost) with
+    2*cap extra columns appended (arrivals; unused slots are sentinels).
+    """
+    r = lax.axis_index(AXIS)
+    px = _base_axis(scheme, pos[0] * F32(m)) % m
+    dest = px // planes_per_shard
+    is_real = pos[0] < F32(pallas_pm.SENTINEL_MIN)
+    go_right = is_real & (dest == (r + 1) % n_dev)
+    go_left = is_real & (dest == (r - 1) % n_dev)
+    stays = is_real & (dest == r)
+    lost = jnp.sum(is_real & ~go_right & ~go_left & ~stays) + (
+        jnp.maximum(jnp.sum(go_right) - cap, 0)
+        + jnp.maximum(jnp.sum(go_left) - cap, 0)
+    )
+
+    ncols = pos.shape[1]
+
+    def pack(mask):
+        idx = jnp.nonzero(mask, size=cap, fill_value=ncols)[0]
+        p = jnp.take(pos, idx, axis=1, mode="fill",
+                     fill_value=float(pallas_pm.SENTINEL))
+        v = jnp.take(vel, idx, axis=1, mode="fill", fill_value=0.0)
+        return p, v
+
+    send_r = pack(go_right)
+    send_l = pack(go_left)
+    # evacuated slots become sentinels
+    leaving = (go_right | go_left)[None, :]
+    pos = jnp.where(leaving, F32(pallas_pm.SENTINEL), pos)
+    pos = pos.at[3].set(F32(0))
+    vel = jnp.where(leaving, F32(0), vel)
+
+    recv_from_left = [lax.ppermute(a, AXIS, _perm_fwd(n_dev)) for a in send_r]
+    recv_from_right = [lax.ppermute(a, AXIS, _perm_bwd(n_dev)) for a in send_l]
+    pos = jnp.concatenate([pos, recv_from_left[0], recv_from_right[0]],
+                          axis=1)
+    vel = jnp.concatenate([vel, recv_from_left[1], recv_from_right[1]],
+                          axis=1)
+    return pos, vel, lost
+
+
+# ---------------------------------------------------------------------------
+# The sharded step
+# ---------------------------------------------------------------------------
+
+def shard_capacity(npart: int, n_dev: int, slack: float = 1.25) -> int:
+    """Static per-shard particle capacity (slabs are not perfectly
+    balanced once structure forms; overflow is detected, not silent)."""
+    return pallas_pm.padded_cols(int(npart / n_dev * slack))
+
+
+def migration_capacity(npart: int, ncells_1d: int, n_dev: int) -> int:
+    """Per-direction migration buffer: ~4 mean plane populations."""
+    return pallas_pm.padded_cols(max(1024, 4 * npart // (ncells_1d or 1)))
+
+
+def _solve_slab(cfg: SolverConfig, density, dyn: DynScalars, m: int,
+                n_dev: int, save_pk: bool):
+    """rhs -> pencil-FFT Poisson solve -> slab force field (+ optional
+    P(k) of the density). Newton/parametrized theories."""
+    f1 = F32(1.5) * dyn.aexp * dyn.om_m * dyn.mu_z
+    rhs = f1 * (density - F32(1))
+    pk = None
+    solver = cfg.linear_newton_solver
+    rhs_k = rfft3_slab(rhs, n_dev)
+    if save_pk:
+        inv_f1 = F32(1) / f1
+        pk = power_spectrum_slab(rhs_k * inv_f1, m, cfg.mas_index)
+    if solver == "fft_7pt":
+        phi_k = inverse_laplacian_7pt_slab(rhs_k, m)
+    else:  # "fft" (and the multigrid configs fall back to fft for now)
+        phi_k = inverse_laplacian_slab(rhs_k, m, cfg.mas_index)
+    phi = irfft3_slab(phi_k, m)
+    force = derivative_slab(phi, cfg.gradient_stencil_order, n_dev)
+    return force, phi, pk
+
+
+def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
+                   save_pk: bool = False, slack: float = 1.25):
+    """Build the jitted slab-sharded KDK step.
+
+    State per shard: pos/vel column arrays (4, C) with sentinel empties,
+    acceleration (4, C), potential slab (M/D, M, M). Returns
+    ``fn(pos, vel, acc, phi, dyn, dt) -> (pos, vel, acc, phi, pk, diag)``.
+    Newton/parametrized + fft/fft_7pt solvers (the slab multigrid/FAS
+    path is future work; use parallel.pm for replicated-grid theories).
+    """
+    if cfg.theory not in ("newton", "parametrized"):
+        raise NotImplementedError(
+            "slab mode currently supports newton/parametrized theories "
+            f"(got {cfg.theory!r})"
+        )
+    n_dev = mesh.devices.size
+    m = cfg.ncells_1d
+    planes = m // n_dev
+    if planes * n_dev != m or planes < _WIDTH[cfg.mass_scheme] - 1:
+        raise ValueError(
+            f"ncells_1d={m} must be divisible by n_devices={n_dev} with "
+            "slabs at least as tall as the deposit window"
+        )
+    cap_mig = migration_capacity(cfg.npart, m, n_dev)
+    norm = F32(m ** 3 / cfg.npart)
+    w = _WIDTH[cfg.mass_scheme]
+    interpret = jax.default_backend() == "cpu"
+
+    dyn_specs = jax.tree.map(lambda _: P(), DynScalars(*[0.0] * 10))
+    pspec = P(None, AXIS)  # particle columns sharded
+    fspec = P(AXIS)  # fields x-slab sharded
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, fspec, dyn_specs, P()),
+        out_specs=(
+            pspec, pspec, pspec, fspec,
+            (P(), P(), P()) if save_pk else P(),
+            StepDiagnostics(P(), P(), P(), P()),
+        ),
+        check_vma=False,
+    )
+    def step_shard(position, velocity, acceleration, phi, dyn, dt):
+        r = lax.axis_index(AXIS)
+        plane0 = (r * planes).astype(I32)
+        dt = F32(dt)
+        cap = position.shape[1]
+        from ..ops import mesh as mesh_ops
+
+        if integrator == "leapfrog":
+            half_dt = F32(0.5) * dt
+            velocity = velocity - acceleration * half_dt
+            position = mesh_ops.periodic_wrap(position + velocity * dt)
+        elif integrator == "euler":
+            position = mesh_ops.periodic_wrap(position + velocity * dt)
+            velocity = velocity - acceleration * dt
+        else:
+            raise NotImplementedError(integrator)
+
+        # migration + local tile sort (arrivals ride along; sentinels and
+        # any foreign stragglers sort past the end and are truncated)
+        position, velocity, lost = migrate(
+            position, velocity, m, planes, cap_mig, n_dev, cfg.mass_scheme
+        )
+        position, velocity, tstarts = pallas_pm.sort_particles(
+            position, velocity, m, cfg.mass_scheme, plane0, planes
+        )
+        n_real = tstarts[-1]
+        overflow = lost + jnp.maximum(n_real - cap, 0)
+        position = position[:, :cap]
+        velocity = velocity[:, :cap]
+
+        gp = pallas_pm.deposit_slab(
+            position, tstarts, m, cfg.mass_scheme, interpret, planes
+        )
+        density = add_spill_right(gp, planes, n_dev) * norm
+
+        force, phi, pk = _solve_slab(cfg, density, dyn, m, n_dev, save_pk)
+
+        f_ext = halo_right(force, w - 1, n_dev) if w > 1 else force
+        acceleration = pallas_pm.gather_vec_slab(
+            f_ext, position, tstarts, cfg.mass_scheme, interpret
+        )
+
+        if integrator == "leapfrog":
+            velocity = velocity - acceleration * half_dt
+
+        diag = StepDiagnostics(
+            max_abs_acc=lax.pmax(jnp.max(jnp.abs(acceleration)), AXIS),
+            max_abs_vel=lax.pmax(jnp.max(jnp.abs(velocity)), AXIS),
+            mean_additional=F32(0),
+            overflow=lax.psum(overflow.astype(jnp.int32), AXIS),
+        )
+        if not save_pk:
+            pk = F32(0)
+        return position, velocity, acceleration, phi, pk, diag
+
+    return jax.jit(step_shard)
+
+
+def distribute_particles(mesh: Mesh, cfg: SolverConfig, position, velocity,
+                         slack: float = 1.25):
+    """Host-side initial distribution: rows (npart, 3) -> per-shard column
+    state stacked as global (4, D*C) arrays sharded on the column axis."""
+    import numpy as np
+
+    n_dev = mesh.devices.size
+    m = cfg.ncells_1d
+    planes = m // n_dev
+    cap = shard_capacity(cfg.npart, n_dev, slack)
+    position = np.asarray(position, np.float32)
+    velocity = np.asarray(velocity, np.float32)
+    xs = position[:, 0] * np.float32(m)
+    if cfg.mass_scheme == "cic":
+        px = np.floor(xs - np.float32(0.5)).astype(np.int64) % m
+    elif cfg.mass_scheme == "tsc":
+        px = (np.floor(xs).astype(np.int64) - 1) % m
+    else:
+        px = np.floor(xs).astype(np.int64) % m
+    shard_of = px // planes
+    pos_all = np.full((4, n_dev * cap), pallas_pm.SENTINEL, np.float32)
+    vel_all = np.zeros((4, n_dev * cap), np.float32)
+    pos_all[3] = 0.0
+    for d in range(n_dev):
+        sel = shard_of == d
+        n_local = int(sel.sum())
+        if n_local > cap:
+            raise ValueError(
+                f"shard {d} holds {n_local} particles > capacity {cap}; "
+                "raise the slack factor"
+            )
+        pos_all[:3, d * cap: d * cap + n_local] = position[sel].T
+        vel_all[:3, d * cap: d * cap + n_local] = velocity[sel].T
+    shard_p = NamedSharding(mesh, P(None, AXIS))
+    shard_f = NamedSharding(mesh, P(AXIS))
+    pos_dev = jax.device_put(jnp.asarray(pos_all), shard_p)
+    vel_dev = jax.device_put(jnp.asarray(vel_all), shard_p)
+    acc_dev = jax.device_put(jnp.zeros_like(pos_all), shard_p)
+    phi_dev = jax.device_put(jnp.zeros((m, m, m), jnp.float32), shard_f)
+    return pos_dev, vel_dev, acc_dev, phi_dev
+
+
+def gather_particles(cfg: SolverConfig, n_dev: int, position, velocity=None):
+    """Per-shard column state -> (n_real, 3) row arrays (drops sentinels)."""
+    import numpy as np
+
+    pos = np.asarray(position)
+    real = pos[0] < pallas_pm.SENTINEL_MIN
+    out = [pos[:3, real].T]
+    if velocity is not None:
+        out.append(np.asarray(velocity)[:3, real].T)
+    return out[0] if velocity is None else tuple(out)

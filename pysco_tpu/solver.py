@@ -50,11 +50,17 @@ class SolverConfig:
     fR_n: int
     mond_function: str
     mond_alpha: float
-    # "pallas": tile-binned Pallas kernels over the padded-aligned layout
+    # "pallas": tile-binned Pallas kernels over the column layout
     # (ops/pallas_pm.py), the fast path on TPU. "dense": scatter-free
     # one-hot contractions (ops/dense_pm.py). "scatter": XLA
     # scatter/gather reference path.
     particle_engine: str = "pallas"
+    # "newton": float32 Newton polish from the current grid value in the
+    # f(R) Gauss-Seidel sweeps (matches the closed form to f32 roundoff,
+    # tests/test_scalaron.py). "exact": the reference's float64
+    # closed-form roots (cubic.py:162-207 / quartic.py:157-204) --
+    # bit-faithful but emulated-f64 slow on TPU.
+    fR_root_solver: str = "newton"
 
     @property
     def ncells_1d(self) -> int:
@@ -81,6 +87,9 @@ def config_from_param(param) -> SolverConfig:
         particle_engine=str(param.get("particle_engine", "pallas")).casefold()
         if hasattr(param, "get")
         else "pallas",
+        fR_root_solver=str(param.get("fR_root_solver", "newton")).casefold()
+        if hasattr(param, "get")
+        else "newton",
     )
 
 
@@ -216,12 +225,13 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
         return u
     if theory == "fr":
         dens_term = dyn.fR_f1 * density + dyn.fR_f2
+        exact_root = cfg.fR_root_solver == "exact"
         if cfg.fR_n == 1:
-            ops = multigrid.fas_ops_cubic(dyn.fR_q)
+            ops = multigrid.fas_ops_cubic(dyn.fR_q, exact_root)
             if first_call:
                 u = cubic.initialise_potential(dens_term, dyn.fR_q)
         elif cfg.fR_n == 2:
-            ops = multigrid.fas_ops_quartic(dyn.fR_q)
+            ops = multigrid.fas_ops_quartic(dyn.fR_q, exact_root)
             if first_call:
                 u = quartic.initialise_potential(dens_term, dyn.fR_q)
         else:
@@ -271,7 +281,11 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
         from .ops import pallas_pm
 
         interpret = jax.default_backend() == "cpu"
-        if first_call:
+        if first_call and position.shape[0] != 4:
+            # (npart, 3) row-major initial conditions -> column state.
+            # Callers with large states should convert on the host
+            # (pallas_pm.to_columns_host) to avoid holding both layouts
+            # in HBM; pre-columned (4, N_up) input skips this.
             if velocity is None:
                 velocity = jnp.zeros_like(position)
             position, velocity = pallas_pm.to_columns(

@@ -82,6 +82,40 @@ def test_cubic_gauss_seidel_converges():
     assert err < 0.05 * err0
 
 
+def test_newton_smoothing_matches_exact_cubic():
+    """The f32 Newton-polish sweep must track the f64 closed-form sweep."""
+    u_star, b = _manufactured_problem(cubic)
+    q = -2000.0
+    u0 = cubic.initialise_potential(b, q)
+    u_exact = cubic.smoothing(u0, b, q, 20, exact_root=True)
+    u_newton = cubic.smoothing(u0, b, q, 20, exact_root=False)
+    np.testing.assert_allclose(
+        np.array(u_newton), np.array(u_exact), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_newton_smoothing_matches_exact_quartic():
+    u_star, b = _manufactured_problem(quartic, n=16, seed=5)
+    q = -2000.0
+    u0 = quartic.initialise_potential(b, q)
+    u_exact = quartic.smoothing(u0, b, q, 20, exact_root=True)
+    u_newton = quartic.smoothing(u0, b, q, 20, exact_root=False)
+    np.testing.assert_allclose(
+        np.array(u_newton), np.array(u_exact), atol=2e-5, rtol=2e-5
+    )
+
+
+def test_fas_cubic_newton_converges():
+    """FAS with the Newton smoother reaches the manufactured solution."""
+    u_star, b = _manufactured_problem(cubic, n=16)
+    q = -2000.0
+    ops = multigrid.fas_ops_cubic(jnp.float32(q), exact_root=False)
+    u = cubic.initialise_potential(b, q)
+    tol = jnp.float32(1e-3) * ops.truncation_error(u, b)
+    u = multigrid.FAS(u, b, ops, 4, 2, 1, tol)
+    np.testing.assert_allclose(np.array(u), np.array(u_star), atol=5e-3)
+
+
 def test_fas_cubic_converges():
     u_star, b = _manufactured_problem(cubic, n=16)
     q = -2000.0
