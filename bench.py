@@ -116,49 +116,21 @@ def bench_config(ncoarse, npart, scheme, theory, solver_name, iters=ITERS,
 
 def bench_components():
     """Per-component timings (ms) at 256^3 TSC on the TPU."""
-    import jax
-    import jax.numpy as jnp
-    from pysco_tpu.ops import fourier, mesh, pallas_pm
+    from pysco_tpu import solver as solver_mod
+    from pysco_tpu.utils.profiling import component_breakdown
 
-    m = 2 ** NCOARSE
-    pos_c, vel_c = _device_state(NPART)
-
-    def timeit(fn, *args, iters=5):
-        out = fn(*args)
-        _sync(out)
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        _sync(out)
-        return (time.perf_counter() - t0) / iters * 1e3, out
-
-    sort_fn = jax.jit(
-        lambda p, v: pallas_pm.sort_particles(p, v, m, "tsc")
-    )
-    t_sort, (pos_s, vel_s, starts) = timeit(sort_fn, pos_c, vel_c)
-    t_dep, dens = timeit(
-        lambda p, s: pallas_pm.deposit(p, s, m, "tsc", False), pos_s, starts
-    )
-
-    @jax.jit
-    def solve(d):
-        rhs = jnp.float32(0.5) * (d - 1)
-        phi = fourier.irfft3(
-            fourier.inverse_laplacian_compensated(fourier.rfft3(rhs), 3)
-        )
-        return mesh.derivative(phi, 5)
-
-    t_solve, force = timeit(solve, dens)
-    t_gat, _ = timeit(
-        lambda f, p, s: pallas_pm.gather_vec(f, p, s, "tsc", False),
-        force, pos_s, starts,
-    )
-    return {
-        "tile_sort_ms": round(t_sort, 1),
-        "deposit_ms": round(t_dep, 1),
-        "fft_solve_plus_gradient_ms": round(t_solve, 1),
-        "gather_ms": round(t_gat, 1),
+    param = {
+        "theory": "newton", "ncoarse": NCOARSE, "npart": NPART,
+        "mass_scheme": "tsc", "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+        "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
+        "particle_engine": "pallas",
     }
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    pos_c, vel_c = _device_state(NPART)
+    return component_breakdown(cfg, pos_c, vel_c, dyn)
 
 
 def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):

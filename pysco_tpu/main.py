@@ -121,6 +121,17 @@ def run(param) -> None:
     if save_pk_first:
         _write_pk(pk, param)
 
+    if verbose >= 2 and cfg.particle_engine == "pallas":
+        # one-time per-component force-evaluation breakdown (the @time_me
+        # per-kernel timings of the reference have no equivalent inside a
+        # fused XLA step; this is the observable substitute)
+        from .utils.profiling import component_breakdown
+
+        logging.info(
+            "force-evaluation component timings: %s",
+            component_breakdown(cfg, position, velocity, dyn),
+        )
+
     aexp_out = np.sort(1.0 / (np.array(z_out, dtype=np.float64) + 1))
     t_out = np.array([float(tables[1](np.log(a))) for a in aexp_out])
     logging.info("aexp_out=%s", aexp_out)

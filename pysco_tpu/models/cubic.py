@@ -53,13 +53,23 @@ def solution_cubic_equation(p: jax.Array, d1: jax.Array) -> jax.Array:
 
 
 def initialise_potential(b: jax.Array, q) -> jax.Array:
-    """First guess assuming u_nb = 0: root of u^3 + h^2 b u + h^2 q = 0."""
+    """First guess assuming u_nb = 0: root of u^3 + h^2 b u + h^2 q = 0.
+
+    Cardano with the cancellation-free sign choice: d1 = 27 h^2 q < 0, so
+    ``d1 - sqrt(d1^2 - 4 d0^3)`` is the stable branch -- the textbook
+    ``d1 + sqrt`` form cancels catastrophically when 4 d0^3 / d1^2 drops
+    under float64 eps (near-empty cells), yielding C = 0 and an infinite
+    first guess that poisons the FAS tolerance with NaN.
+    """
     n = b.shape[0]
     h2 = 1.0 / (n * n)
     d1 = 27.0 * h2 * jnp.asarray(q, F64)
     d0 = -3.0 * h2 * b.astype(F64)
-    C = jnp.cbrt(0.5 * (d1 + jnp.sqrt(d1 * d1 - 4.0 * d0 ** 3)))
-    return (-(1.0 / 3.0) * (C + d0 / C)).astype(F32)
+    C = jnp.cbrt(0.5 * (d1 - jnp.sqrt(d1 * d1 - 4.0 * d0 ** 3)))
+    u = -(1.0 / 3.0) * (C + d0 / C)
+    # belt-and-braces: an invalid cell falls back to the b = 0 root
+    u = jnp.where(jnp.isfinite(u) & (u > 0), u, jnp.cbrt(-h2 * jnp.asarray(q, F64)))
+    return u.astype(F32)
 
 
 def _neighbour_sq_sum(x: jax.Array) -> jax.Array:

@@ -49,15 +49,24 @@ def solution_quartic_equation(p: jax.Array, q: jax.Array) -> jax.Array:
 
 
 def initialise_potential(b: jax.Array, q) -> jax.Array:
-    """First guess assuming u_nb = 0 (quartic.py:214-268)."""
+    """First guess assuming u_nb = 0 (quartic.py:214-268).
+
+    Guarded against the small-b cancellation in ``Q + d0/Q`` (near-empty
+    cells): any non-finite/non-positive result falls back to the b = 0
+    root (-h^2 q)^(1/4).
+    """
     n = b.shape[0]
     h2 = 1.0 / (n * n)
     d0 = 12.0 * h2 * jnp.asarray(q, F64)
     p = h2 * b.astype(F64)
     d1 = 27.0 * p * p
     Q = jnp.cbrt(0.5 * (d1 + jnp.sqrt(d1 * d1 - 4.0 * d0 ** 3)))
-    S = 0.5 * jnp.sqrt((Q + d0 / Q) / 3.0)
-    return (-S + 0.5 * jnp.sqrt(-4.0 * S * S + p / S)).astype(F32)
+    S = 0.5 * jnp.sqrt(jnp.abs(Q + d0 / Q) / 3.0)
+    S = jnp.where(S > 0.0, S, 1.0)
+    u = -S + 0.5 * jnp.sqrt(jnp.maximum(-4.0 * S * S + p / S, 0.0))
+    fallback = jnp.abs(h2 * jnp.asarray(q, F64)) ** 0.25
+    good = jnp.isfinite(u) & (u > 0.25 * fallback)
+    return jnp.where(good, u, fallback).astype(F32)
 
 
 def _neighbour_cube_sum(x: jax.Array) -> jax.Array:

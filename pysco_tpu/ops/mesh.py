@@ -280,11 +280,15 @@ def divergence(a: jax.Array, order: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 def restriction(x: jax.Array) -> jax.Array:
-    """Full-weighting restriction: mean over 2x2x2 children."""
-    n = x.shape[0] // 2
-    return (
-        x.reshape(n, 2, n, 2, n, 2).sum(axis=(1, 3, 5)) * F32(0.125)
-    )
+    """Full-weighting restriction: mean over 2x2x2 children.
+
+    reduce_window instead of a reshape to (n,2,n,2,n,2): TPU layouts tile
+    the two minor dims to (8, 128), so the reshape would physically pad
+    each size-2 dim (32 GB of HBM for one 512^3 restriction).
+    """
+    return jax.lax.reduce_window(
+        x, F32(0), jax.lax.add, (2, 2, 2), (2, 2, 2), "VALID"
+    ) * F32(0.125)
 
 
 def minus_restriction(x: jax.Array) -> jax.Array:
@@ -292,14 +296,23 @@ def minus_restriction(x: jax.Array) -> jax.Array:
 
 
 def _prolong_axis(x: jax.Array, axis: int) -> jax.Array:
-    """Double the size along `axis` with (3/4, 1/4) trilinear weights."""
+    """Double the size along `axis` with (3/4, 1/4) trilinear weights.
+
+    The even/odd interleave uses interior lax.pad instead of a
+    stack+reshape: a trailing size-2 dim would be physically padded to
+    the (8, 128) TPU tile (64x memory blowup on the minor axis).
+    """
     c = F32(0.75) * x
     even = c + F32(0.25) * roll(x, 1, axis)
     odd = c + F32(0.25) * roll(x, -1, axis)
-    stacked = jnp.stack((even, odd), axis=axis + 1)
-    new_shape = list(x.shape)
-    new_shape[axis] *= 2
-    return stacked.reshape(new_shape)
+    cfg_even = [(0, 0, 0)] * x.ndim
+    cfg_even[axis] = (0, 1, 1)  # values at 0, 2, 4, ...
+    cfg_odd = [(0, 0, 0)] * x.ndim
+    cfg_odd[axis] = (1, 0, 1)  # values at 1, 3, 5, ...
+    zero = F32(0)
+    return jax.lax.pad(even, zero, cfg_even) + jax.lax.pad(
+        odd, zero, cfg_odd
+    )
 
 
 def prolongation(x: jax.Array) -> jax.Array:

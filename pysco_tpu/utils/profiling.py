@@ -64,6 +64,66 @@ def profile_me(func):
     return wrapper
 
 
+def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
+    """Per-component wall times (ms) of one force evaluation on the pallas
+    engine: tile sort, deposit, field solve + gradient, gather.
+
+    Runs each stage standalone with a value-fetch barrier, so the numbers
+    are honest on asynchronous backends. Used by the run loop at
+    verbose=2 (the reference's @time_me per-kernel timings,
+    utils.py:18-57, have no equivalent inside a fused XLA step -- this is
+    the observable substitute).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_pm
+    from .. import solver as solver_mod
+
+    m = cfg.ncells_1d
+    scheme = cfg.mass_scheme
+    interpret = jax.default_backend() == "cpu"
+
+    def timeit(fn, *args):
+        out = fn(*args)
+        _sync(out)
+        t0 = perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _sync(out)
+        return (perf_counter() - t0) / iters * 1e3, out
+
+    sort_fn = jax.jit(
+        lambda p, v: pallas_pm.sort_particles(p, v, m, scheme)
+    )
+    t_sort, (pos_s, vel_s, starts) = timeit(sort_fn, position, velocity)
+    t_dep, dens = timeit(
+        lambda p, s: pallas_pm.deposit(p, s, m, scheme, interpret),
+        pos_s, starts,
+    )
+    norm = jnp.float32(m ** 3 / cfg.npart)
+
+    @jax.jit
+    def solve(d):
+        force, _, _, _ = solver_mod._solve_fields(
+            cfg, True, False, d * norm, jnp.zeros_like(d),
+            jnp.zeros_like(d), dyn
+        )
+        return force
+
+    t_solve, force = timeit(solve, dens)
+    t_gat, _ = timeit(
+        lambda f, p, s: pallas_pm.gather_vec(f, p, s, scheme, interpret),
+        force, pos_s, starts,
+    )
+    return {
+        "tile_sort_ms": round(t_sort, 1),
+        "deposit_ms": round(t_dep, 1),
+        "solve_plus_gradient_ms": round(t_solve, 1),
+        "gather_ms": round(t_gat, 1),
+    }
+
+
 @contextmanager
 def trace(log_dir: str = "/tmp/pysco_tpu_trace"):
     """Capture a jax.profiler device trace around a code block."""

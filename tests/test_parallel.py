@@ -76,6 +76,112 @@ def test_sharded_step_matches_single_device(engine):
     assert int(got[5].overflow) == 0
 
 
+@pytest.mark.parametrize("theory,extra", [
+    ("fr", {"fR_logfR0": 5.0, "fR_n": 1, "Om_lambda": 0.7, "Om_r": 0.0,
+            "w0": -1.0, "wa": 0.0, "unit_l": 1.0, "unit_t": 1.0,
+            "linear_newton_solver": "multigrid"}),
+    ("mond", {"mond_g0": 1.2, "mond_scale_factor_exponent": 0.0,
+              "mond_function": "simple", "unit_l": 3085.0, "unit_t": 1e10,
+              "linear_newton_solver": "multigrid"}),
+])
+def test_sharded_step_modified_gravity(theory, extra):
+    """f(R)/QUMOND sharded step == single-device step (replicated grids)."""
+    n = 16
+    npart = n ** 3
+    rng = np.random.default_rng(7)
+    pos = rng.random((npart, 3), dtype=np.float32)
+    vel = (0.01 * rng.standard_normal((npart, 3))).astype(np.float32)
+    param = {
+        "theory": theory, "ncoarse": 4, "npart": npart,
+        "mass_scheme": "tsc", "gradient_stencil_order": 5,
+        "Npre": 2, "Npost": 1, "fR_n": 1, "mond_function": "simple",
+        "mond_alpha": 1.0, "aexp": 0.2, "Om_m": 0.3, "epsrel": 1e-3,
+        "particle_engine": "dense", "linear_newton_solver": "multigrid",
+    }
+    param.update(extra)
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    phi0, u0 = solver_mod.empty_fields(cfg)
+    pos_j, vel_j, acc, phi, u, _, _ = solver_mod.pm(
+        cfg, True, False, jnp.asarray(pos), jnp.asarray(vel), phi0, u0, dyn
+    )
+    dt = np.float32(5e-3)
+    ref = integrate.step(
+        cfg, "leapfrog", False, False, pos_j, vel_j, acc, phi, u, dyn, dt
+    )
+    mesh = par_pm.make_mesh(8)
+    sharded = par_pm.shard_state(mesh, pos_j, vel_j, acc, phi, u)
+    step_fn = par_pm.make_sharded_step(cfg, mesh, "leapfrog", False)
+    got = step_fn(*sharded, dyn, dt)
+    rp, rv = _canonical(ref[0], ref[1])
+    gp, gv = _canonical(got[0], got[1])
+    np.testing.assert_allclose(rp, gp, atol=1e-6)
+    np.testing.assert_allclose(rv, gv, atol=1e-5, rtol=1e-4)
+    # potential and (for fr) scalaron fields agree up to psum rounding
+    np.testing.assert_allclose(
+        np.array(ref[3]), np.array(got[3]), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.array(ref[4]), np.array(got[4]), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_sharded_multistep_pk_fidelity():
+    """P(k) of the particle field after several sharded steps matches the
+    single-device run to well under the 0.1% target."""
+    from pysco_tpu.ops import fourier, mesh as mesh_ops
+
+    n = 16
+    npart = n ** 3
+    rng = np.random.default_rng(8)
+    grid = (np.indices((n, n, n)).reshape(3, -1).T + 0.5) / n
+    pos = (grid + 0.002 * rng.standard_normal((npart, 3))).astype(
+        np.float32
+    ) % 1
+    vel = (0.05 * rng.standard_normal((npart, 3))).astype(np.float32)
+    param = {
+        "theory": "newton", "ncoarse": 4, "npart": npart,
+        "mass_scheme": "tsc", "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+        "aexp": 0.1, "Om_m": 0.3, "epsrel": 1e-2,
+        "particle_engine": "dense",
+    }
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    phi0, u0 = solver_mod.empty_fields(cfg)
+    pos_j, vel_j, acc, phi, u, _, _ = solver_mod.pm(
+        cfg, True, False, jnp.asarray(pos), jnp.asarray(vel), phi0, u0, dyn
+    )
+    dt = np.float32(2e-3)
+    nsteps = 6
+
+    state = (pos_j, vel_j, acc, phi, u)
+    for _ in range(nsteps):
+        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt)
+        state = out[:5]
+    pos_ref = state[0]
+
+    mesh = par_pm.make_mesh(8)
+    sharded = par_pm.shard_state(mesh, pos_j, vel_j, acc, phi, u)
+    step_fn = par_pm.make_sharded_step(cfg, mesh, "leapfrog", False)
+    got = sharded + (None,)
+    cur = sharded
+    for _ in range(nsteps):
+        out = step_fn(*cur, dyn, dt)
+        cur = out[:5]
+    pos_shard = cur[0]
+
+    def pk_of(p):
+        dens = mesh_ops.deposit(jnp.asarray(np.array(p)), n, "tsc")
+        k, pk, nm = fourier.power_spectrum(fourier.rfft3(dens), 3)
+        return np.array(pk)
+
+    pk_ref, pk_shard = pk_of(pos_ref), pk_of(pos_shard)
+    rel = np.abs(pk_shard - pk_ref) / pk_ref
+    assert rel.max() < 1e-3, f"max sharded P(k) deviation {rel.max():.2e}"
+
+
 def test_sharded_step_multigrid():
     cfg, dyn, pos, vel, acc, phi, u = _setup("dense")
     cfg_mg = dataclasses.replace(cfg, linear_newton_solver="multigrid")

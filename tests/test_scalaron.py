@@ -82,6 +82,28 @@ def test_cubic_gauss_seidel_converges():
     assert err < 0.05 * err0
 
 
+def test_initialise_potential_finite_for_tiny_densities():
+    """Near-empty cells (b -> 0) must not blow up the first guess: the
+    naive Cardano branch cancels catastrophically at 4 d0^3/d1^2 < eps
+    (it gave inf -> NaN FAS tolerances -> silent 30-cycle solves)."""
+    n = 16  # initialise_potential derives h from b.shape[0]
+    h2 = 1.0 / n ** 2
+    q = -3.14e-5  # typical scalaron background
+    b = jnp.asarray(
+        np.geomspace(1e-12, 1e-2, 4096).astype(np.float32)
+    ).reshape(n, n, n)
+    for module, power in ((cubic, 3), (quartic, 4)):
+        u = np.asarray(module.initialise_potential(b, q), dtype=np.float64)
+        assert np.isfinite(u).all(), module.__name__
+        assert (u > 0).all(), module.__name__
+        # each guess approximately solves its cell equation (within the
+        # documented fallback tolerance for the quartic's guarded branch)
+        bb = np.asarray(b, np.float64)
+        resid = u ** power + (h2 * bb) * u + h2 * q
+        scale = np.abs(h2 * q)
+        assert np.median(np.abs(resid) / scale) < 1e-6, module.__name__
+
+
 def test_newton_smoothing_matches_exact_cubic():
     """The f32 Newton-polish sweep must track the f64 closed-form sweep."""
     u_star, b = _manufactured_problem(cubic)
