@@ -78,12 +78,16 @@ def bench_config(ncoarse, npart, scheme, theory, solver_name, iters=ITERS,
         "theory": theory, "ncoarse": ncoarse, "npart": npart,
         "mass_scheme": scheme, "linear_newton_solver": solver_name,
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
-        "fR_n": 1, "fR_logfR0": 5.0, "mond_function": "simple",
-        "mond_alpha": 1.0, "aexp": 0.1, "Om_m": 0.25733,
+        "fR_n": 2 if theory == "fr_n2" else 1, "fR_logfR0": 5.0,
+        "mond_function": "simple", "mond_alpha": 1.0,
+        "mond_g0": 1.2, "mond_scale_factor_exponent": 0.0,
+        "parametrized_mu0": 0.1, "aexp": 0.1, "Om_m": 0.25733,
         "Om_lambda": 0.74267, "Om_r": 0.0, "w0": -1.0, "wa": 0.0,
-        "unit_l": 1.0, "unit_t": 1.0, "epsrel": 1e-2,
+        "unit_l": 3085.0, "unit_t": 1e10, "epsrel": 1e-2,
         "particle_engine": "pallas",
     }
+    if theory == "fr_n2":
+        param["theory"] = "fr"
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     pos, vel = _device_state(npart)
@@ -218,12 +222,17 @@ def bench_cpu_baseline() -> float:
 
 
 CONFIGS = [
-    # (label, ncoarse, npart, scheme, theory, solver, iters)
+    # (label, ncoarse, npart, scheme, theory, solver, iters) -- the five
+    # BASELINE.json families at 256^3 plus the 512^3 north-star sizes
     ("newton_cic_fft_256", 8, 256 ** 3, "cic", "newton", "fft", ITERS),
     ("newton_tsc_fft_256", 8, 256 ** 3, "tsc", "newton", "fft", ITERS),
     ("newton_tsc_multigrid_256", 8, 256 ** 3, "tsc", "newton", "multigrid",
      ITERS),
+    ("parametrized_tsc_fft_256", 8, 256 ** 3, "tsc", "parametrized", "fft",
+     ITERS),
+    ("mond_tsc_multigrid_256", 8, 256 ** 3, "tsc", "mond", "multigrid", 5),
     ("fr_n1_tsc_multigrid_256", 8, 256 ** 3, "tsc", "fr", "multigrid", 5),
+    ("fr_n2_tsc_multigrid_256", 8, 256 ** 3, "tsc", "fr_n2", "multigrid", 5),
     ("newton_cic_fft_512", 9, 512 ** 3, "cic", "newton", "fft", 4),
     ("fr_n1_cic_multigrid_512", 9, 512 ** 3, "cic", "fr", "multigrid", 3),
 ]

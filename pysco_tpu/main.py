@@ -98,6 +98,17 @@ def run(param) -> None:
     integrator = str(param["integrator"]).casefold()
     pk_mode = _save_pk_mode(param)
 
+    parallel_mode = str(param.get("parallel_mode", "single")).casefold()
+    if parallel_mode == "slab":
+        return _run_slab(
+            param, tables, cfg, integrator, pk_mode, position, velocity,
+            z_out,
+        )
+    if parallel_mode != "single":
+        raise NotImplementedError(
+            f"parallel_mode={parallel_mode!r}, should be 'single' or 'slab'"
+        )
+
     # Device state. For the pallas engine, build the (4, N_up) column
     # layout on the host so HBM never holds both layouts at once.
     if cfg.particle_engine == "pallas":
@@ -219,6 +230,108 @@ def run(param) -> None:
             )
             iostream.write_snapshot_particles(pos_np, vel_np, param)
             param["i_snap"] = int(param["i_snap"]) + 1
+        logging.warning(
+            "nsteps=%d aexp=%.6f z=%.4f",
+            param["nsteps"], param["aexp"], 1.0 / param["aexp"] - 1,
+        )
+
+
+def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
+              z_out) -> None:
+    """Slab-decomposed run loop: grids AND particles sharded over every
+    attached device (parallel/slab.py). Newton/parametrized + fft solvers.
+    """
+    from .parallel import slab
+
+    mesh = slab.make_mesh()
+    n_dev = mesh.devices.size
+    logging.warning("slab mode: %d devices, %d planes each",
+                    n_dev, cfg.ncells_1d // n_dev)
+    state = slab.distribute_particles(mesh, cfg, position, velocity)
+    step_fns = {}
+
+    def step_fn(save_pk, first_call=False):
+        key = (save_pk, first_call)
+        if key not in step_fns:
+            step_fns[key] = slab.make_slab_step(
+                cfg, mesh, integrator, save_pk=save_pk,
+                first_call=first_call,
+            )
+        return step_fns[key]
+
+    dyn = solver_mod.compute_dynamics(param)
+    save_pk_first = pk_mode == "yes"
+    # first force evaluation: a zero-dt step (kick with acc = 0 and zero
+    # drift reduce to deposit -> solve -> gather)
+    pos_d, vel_d, acc_d, phi_d, u_d, pk, diag = step_fn(
+        save_pk_first, first_call=True
+    )(*state, dyn, np.float32(0))
+    if save_pk_first:
+        _write_pk(pk, param)
+
+    aexp_out = np.sort(1.0 / (np.array(z_out, dtype=np.float64) + 1))
+    t_out = np.array([float(tables[1](np.log(a))) for a in aexp_out])
+    if "i_snap" not in param:
+        param["i_snap"] = 1
+    else:
+        param["i_snap"] = int(param["i_snap"]) + 1
+    max_abs_acc = float(diag.max_abs_acc)
+    max_abs_vel = float(diag.max_abs_vel)
+
+    while param["aexp"] < aexp_out[-1]:
+        param["nsteps"] = int(param["nsteps"]) + 1
+        dt, dts = integration.compute_dt(param, tables, max_abs_acc,
+                                         max_abs_vel)
+        i_snap_idx = min(int(param["i_snap"]) - 1, len(t_out) - 1)
+        t_snap_next = t_out[i_snap_idx]
+        if param["t"] + dt > t_snap_next:
+            dt = t_snap_next - param["t"]
+            param["write_snapshot"] = True
+        else:
+            param["write_snapshot"] = False
+        param["t"] = param["t"] + dt
+        param["aexp_old"] = param["aexp"]
+        if param["write_snapshot"]:
+            param["aexp"] = float(aexp_out[i_snap_idx])
+        else:
+            param["aexp"] = float(np.exp(tables[0](param["t"])))
+        set_units(param)
+        d1_new = float(tables[3](np.log(param["aexp"])))
+        d1_old = float(tables[3](np.log(param["aexp_old"]))) or 1.0
+        param["potential_scaling"] = (
+            param["aexp"] * d1_new / (param["aexp_old"] * d1_old)
+        )
+        dyn = solver_mod.compute_dynamics(param)
+        save_pk = pk_mode == "yes" or (
+            pk_mode == "z_out" and param["write_snapshot"]
+        )
+        t_step0 = perf_counter()
+        pos_d, vel_d, acc_d, phi_d, u_d, pk, diag = step_fn(save_pk)(
+            pos_d, vel_d, acc_d, phi_d, u_d, dyn, np.float32(dt)
+        )
+        if save_pk:
+            _write_pk(pk, param)
+        max_abs_acc = float(diag.max_abs_acc)
+        max_abs_vel = float(diag.max_abs_vel)
+        logging.info("step wall time: %.1f ms",
+                     1e3 * (perf_counter() - t_step0))
+        overflow = int(diag.overflow)
+        if overflow:
+            logging.error(
+                "slab particle capacity overflow: %d particles dropped -- "
+                "raise the slack factor / rebalance", overflow,
+            )
+        if param["write_snapshot"]:
+            pos_np, vel_np = slab.gather_particles(
+                cfg, n_dev, pos_d, vel_d
+            )
+            iostream.write_snapshot_particles(pos_np, vel_np, param)
+            param["i_snap"] = int(param["i_snap"]) + 1
+        if cfg.theory == "fr" and param["nsteps"] % 10 == 0:
+            logging.info(
+                "mean(u_scalaron)=%s (should stay close to 1)",
+                float(diag.mean_additional),
+            )
         logging.warning(
             "nsteps=%d aexp=%.6f z=%.4f",
             param["nsteps"], param["aexp"], 1.0 / param["aexp"] - 1,

@@ -77,7 +77,9 @@ def rhs(potential: jax.Array, g0, mond_function: str, alpha: float) -> jax.Array
     nu_fn = _NU[mond_function]
 
     phi = potential
-    n = phi.shape[0]
+    # h from the z axis: under x-slab sharding the first axis is the
+    # (halo-extended) local slab height, the last axis is always M
+    n = phi.shape[-1]
     invh = F32(n)
     inv4h = F32(0.25 * n)
     inv_g0 = F32(1.0) / F32(g0)

@@ -300,42 +300,141 @@ def migration_capacity(npart: int, ncells_1d: int, n_dev: int) -> int:
     return pallas_pm.padded_cols(max(1024, 4 * npart // (ncells_1d or 1)))
 
 
-def _solve_slab(cfg: SolverConfig, density, dyn: DynScalars, m: int,
-                n_dev: int, save_pk: bool):
-    """rhs -> pencil-FFT Poisson solve -> slab force field (+ optional
-    P(k) of the density). Newton/parametrized theories."""
-    f1 = F32(1.5) * dyn.aexp * dyn.om_m * dyn.mu_z
-    rhs = f1 * (density - F32(1))
-    pk = None
+def mond_rhs_slab(phi_local, g0, mond_function: str, alpha, n_dev: int):
+    """QUMOND source on the slab: 2-plane halo exchange, then the
+    single-device roll kernel on the extended slab (the x rolls only
+    corrupt the trimmed halo planes; every access chain stays within
+    offset +-2)."""
+    from ..models import mond
+
+    ext = exchange_halo_x(phi_local, 2, n_dev)
+    return mond.rhs(ext, g0, mond_function, alpha)[2:-2]
+
+
+def derivative_fR_slab(phi_local, u_local, f, fR_n: int, order: int,
+                       n_dev: int):
+    """f(R) force mesh on the slab: grad(phi + f * u^(fR_n+1))."""
+    f = F32(f)
+    if fR_n == 1:
+        combined = phi_local + f * u_local * u_local
+    elif fR_n == 2:
+        combined = phi_local + f * u_local * u_local * u_local
+    else:
+        raise NotImplementedError(f"fR_n must be 1 or 2, got {fR_n}")
+    return derivative_slab(combined, order, n_dev)
+
+
+def _linear_solve_slab(cfg: SolverConfig, rhs, phi, dyn, m: int, n_dev: int,
+                       first_call: bool):
+    """Poisson solve dispatch on the slab (solver._linear_solve)."""
+    from ..models import laplacian as lap
+    from . import slab_mg
+
     solver = cfg.linear_newton_solver
+    if solver == "multigrid":
+        if first_call:
+            phi = lap.initialise_potential(rhs)
+        else:
+            phi = phi * dyn.potential_scaling
+        tolerance = dyn.epsrel * slab_mg.truncation_error_slab(phi, n_dev)
+        return slab_mg.linear_slab(
+            phi, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance, n_dev
+        )
     rhs_k = rfft3_slab(rhs, n_dev)
-    if save_pk:
-        inv_f1 = F32(1) / f1
-        pk = power_spectrum_slab(rhs_k * inv_f1, m, cfg.mas_index)
     if solver == "fft_7pt":
         phi_k = inverse_laplacian_7pt_slab(rhs_k, m)
-    else:  # "fft" (and the multigrid configs fall back to fft for now)
+    elif solver == "fft":
         phi_k = inverse_laplacian_slab(rhs_k, m, cfg.mas_index)
-    phi = irfft3_slab(phi_k, m)
-    force = derivative_slab(phi, cfg.gradient_stencil_order, n_dev)
-    return force, phi, pk
+    else:
+        raise NotImplementedError(
+            f"slab mode linear_newton_solver {solver!r} (multigrid, fft "
+            "or fft_7pt)"
+        )
+    return irfft3_slab(phi_k, m)
+
+
+def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
+                n_dev: int, save_pk: bool, first_call: bool):
+    """Full field solve on the slab, mirroring solver._solve_fields:
+    optional P(k), additional field (f(R) FAS / MOND Newtonian potential),
+    Poisson solve, force mesh. All four theories."""
+    from ..models import cubic, laplacian as lap, quartic
+    from . import slab_mg
+
+    pk = None
+    if save_pk:
+        pk = power_spectrum_slab(
+            rfft3_slab(density, n_dev), m, cfg.mas_index
+        )
+
+    theory = cfg.theory
+    f1 = F32(1.5) * dyn.aexp * dyn.om_m * dyn.mu_z
+    if theory == "fr":
+        dens_term = dyn.fR_f1 * density + dyn.fR_f2
+        exact = cfg.fR_root_solver == "exact"
+        if cfg.fR_n == 1:
+            ops = slab_mg.fas_ops_cubic_slab(dyn.fR_q, n_dev, exact)
+            if first_call:
+                u = cubic.initialise_potential(dens_term, dyn.fR_q)
+        else:
+            ops = slab_mg.fas_ops_quartic_slab(dyn.fR_q, n_dev, exact)
+            if first_call:
+                u = quartic.initialise_potential(dens_term, dyn.fR_q)
+        tolerance = dyn.epsrel * ops.truncation_error(u, dens_term)
+        u = slab_mg.FAS_slab(
+            u, dens_term, ops, cfg.ncoarse, cfg.Npre, cfg.Npost,
+            tolerance, n_dev,
+        )
+    elif theory == "mond":
+        rhs_newton = f1 * (density - F32(1))
+        if cfg.linear_newton_solver == "multigrid":
+            if first_call:
+                u = lap.initialise_potential(rhs_newton)
+            tolerance = dyn.epsrel * slab_mg.truncation_error_slab(u, n_dev)
+            u = slab_mg.linear_slab(
+                u, rhs_newton, cfg.ncoarse, cfg.Npre, cfg.Npost,
+                tolerance, n_dev,
+            )
+        else:  # fft_7pt (reference parity: MOND inner solve is discrete)
+            u = irfft3_slab(
+                inverse_laplacian_7pt_slab(
+                    rfft3_slab(rhs_newton, n_dev), m
+                ),
+                m,
+            )
+
+    if theory == "mond":
+        rhs = mond_rhs_slab(u, dyn.mond_g0, cfg.mond_function,
+                            cfg.mond_alpha, n_dev)
+    else:
+        rhs = f1 * (density - F32(1))
+
+    phi = _linear_solve_slab(cfg, rhs, phi, dyn, m, n_dev, first_call)
+    if theory == "fr":
+        force = derivative_fR_slab(
+            phi, u, dyn.fR_half_c2, cfg.fR_n, cfg.gradient_stencil_order,
+            n_dev,
+        )
+    else:
+        force = derivative_slab(phi, cfg.gradient_stencil_order, n_dev)
+    return force, phi, u, pk
 
 
 def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
-                   save_pk: bool = False, slack: float = 1.25):
+                   save_pk: bool = False, slack: float = 1.25,
+                   first_call: bool = False):
     """Build the jitted slab-sharded KDK step.
 
     State per shard: pos/vel column arrays (4, C) with sentinel empties,
-    acceleration (4, C), potential slab (M/D, M, M). Returns
-    ``fn(pos, vel, acc, phi, dyn, dt) -> (pos, vel, acc, phi, pk, diag)``.
-    Newton/parametrized + fft/fft_7pt solvers (the slab multigrid/FAS
-    path is future work; use parallel.pm for replicated-grid theories).
+    acceleration (4, C), potential slab (M/D, M, M), additional-field
+    slab (f(R) scalaron / MOND Newtonian potential; token otherwise).
+    Returns ``fn(pos, vel, acc, phi, u, dyn, dt) ->
+    (pos, vel, acc, phi, u, pk, diag)``. All four theories; fft / fft_7pt
+    pencil solves or the slab-sharded multigrid (parallel/slab_mg.py).
+    ``first_call=True`` builds the variant that (re)initialises the
+    potential/scalaron from scratch -- use it for the initial force
+    evaluation (a zero-dt step).
     """
-    if cfg.theory not in ("newton", "parametrized"):
-        raise NotImplementedError(
-            "slab mode currently supports newton/parametrized theories "
-            f"(got {cfg.theory!r})"
-        )
     n_dev = mesh.devices.size
     m = cfg.ncells_1d
     planes = m // n_dev
@@ -356,15 +455,15 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(pspec, pspec, pspec, fspec, dyn_specs, P()),
+        in_specs=(pspec, pspec, pspec, fspec, fspec, dyn_specs, P()),
         out_specs=(
-            pspec, pspec, pspec, fspec,
+            pspec, pspec, pspec, fspec, fspec,
             (P(), P(), P()) if save_pk else P(),
             StepDiagnostics(P(), P(), P(), P()),
         ),
         check_vma=False,
     )
-    def step_shard(position, velocity, acceleration, phi, dyn, dt):
+    def step_shard(position, velocity, acceleration, phi, u, dyn, dt):
         r = lax.axis_index(AXIS)
         plane0 = (r * planes).astype(I32)
         dt = F32(dt)
@@ -399,7 +498,9 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
         )
         density = add_spill_right(gp, planes, n_dev) * norm
 
-        force, phi, pk = _solve_slab(cfg, density, dyn, m, n_dev, save_pk)
+        force, phi, u, pk = _solve_slab(
+            cfg, density, phi, u, dyn, m, n_dev, save_pk, first_call
+        )
 
         f_ext = halo_right(force, w - 1, n_dev) if w > 1 else force
         acceleration = pallas_pm.gather_vec_slab(
@@ -412,12 +513,12 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
         diag = StepDiagnostics(
             max_abs_acc=lax.pmax(jnp.max(jnp.abs(acceleration)), AXIS),
             max_abs_vel=lax.pmax(jnp.max(jnp.abs(velocity)), AXIS),
-            mean_additional=F32(0),
+            mean_additional=lax.pmean(jnp.mean(u), AXIS),
             overflow=lax.psum(overflow.astype(jnp.int32), AXIS),
         )
         if not save_pk:
             pk = F32(0)
-        return position, velocity, acceleration, phi, pk, diag
+        return position, velocity, acceleration, phi, u, pk, diag
 
     return jax.jit(step_shard)
 
@@ -461,7 +562,15 @@ def distribute_particles(mesh: Mesh, cfg: SolverConfig, position, velocity,
     vel_dev = jax.device_put(jnp.asarray(vel_all), shard_p)
     acc_dev = jax.device_put(jnp.zeros_like(pos_all), shard_p)
     phi_dev = jax.device_put(jnp.zeros((m, m, m), jnp.float32), shard_f)
-    return pos_dev, vel_dev, acc_dev, phi_dev
+    # additional field: scalaron (fr) / Newtonian potential (mond); a
+    # token n_dev-plane grid otherwise so the pytree stays cheap
+    if cfg.theory in ("fr", "mond"):
+        u_dev = jax.device_put(jnp.zeros((m, m, m), jnp.float32), shard_f)
+    else:
+        u_dev = jax.device_put(
+            jnp.zeros((n_dev, 1, 1), jnp.float32), shard_f
+        )
+    return pos_dev, vel_dev, acc_dev, phi_dev, u_dev
 
 
 def gather_particles(cfg: SolverConfig, n_dev: int, position, velocity=None):

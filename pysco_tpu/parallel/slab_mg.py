@@ -1,0 +1,349 @@
+"""Slab-sharded geometric multigrid: linear V-cycles and FAS over ICI.
+
+The x-slab analogue of models/multigrid.py (reference multigrid.py): the
+7-point stencils and red-black sweeps exchange one-plane halos with
+``ppermute`` per half-sweep, restriction/prolongation act locally per slab
+(x pairs never straddle a slab boundary because slab heights are powers of
+two), and once a level's slab gets too thin the tiny coarse grid is
+``all_gather``-ed and the remaining levels run replicated through
+models/multigrid.py -- coarse grids below ~32^3 cost microseconds, so
+sharding them would only buy latency.
+
+The red/black checkerboard parity is GLOBAL ((i + plane0 + j + k) & 1), so
+a sharded sweep updates exactly the same cells in the same order as the
+single-device sweep and the results agree to float32 rounding.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import cubic as cubic_mod
+from ..models import laplacian as lap
+from ..models import multigrid as mg
+from ..models import quartic as quartic_mod
+from ..models.laplacian import F_RELAX
+from ..ops import mesh as mesh_ops
+from .slab import AXIS, exchange_halo_x
+
+F32 = jnp.float32
+
+# gather-to-replicated threshold: levels with a GLOBAL grid at or below
+# this size run through models/multigrid.py on every shard
+REPLICATE_BELOW = 32
+
+
+def _grids(n_dev: int):
+    return None
+
+
+def _global_parity(planes: int, m: int):
+    r = lax.axis_index(AXIS)
+    ii = lax.broadcasted_iota(jnp.int32, (planes, m, m), 0) + r * planes
+    jj = lax.broadcasted_iota(jnp.int32, (planes, m, m), 1)
+    kk = lax.broadcasted_iota(jnp.int32, (planes, m, m), 2)
+    return (ii + jj + kk) & 1
+
+
+def neighbour_sum_slab(x: jax.Array, n_dev: int) -> jax.Array:
+    ext = exchange_halo_x(x, 1, n_dev)
+    return (
+        ext[:-2]
+        + ext[2:]
+        + jnp.roll(x, 1, 1)
+        + jnp.roll(x, -1, 1)
+        + jnp.roll(x, 1, 2)
+        + jnp.roll(x, -1, 2)
+    )
+
+
+def operator_slab(x: jax.Array, n_dev: int) -> jax.Array:
+    """7-point Laplacian on the slab (laplacian.operator)."""
+    m = x.shape[1]
+    return (neighbour_sum_slab(x, n_dev) - F32(6) * x) * F32(m * m)
+
+
+def residual_error_slab(x, b, n_dev) -> jax.Array:
+    r = b - operator_slab(x, n_dev)
+    return jnp.sqrt(lax.psum(jnp.sum(r * r), AXIS))
+
+
+def restriction_slab(x: jax.Array) -> jax.Array:
+    """Full-weighting restriction; x pairs are slab-local."""
+    return mesh_ops.restriction(x)
+
+
+def prolongation_slab(x: jax.Array, n_dev: int) -> jax.Array:
+    """Trilinear prolongation; the x-axis doubling needs 1-plane halos."""
+    ext = exchange_halo_x(x, 1, n_dev)
+    c = F32(0.75) * x
+    even = c + F32(0.25) * ext[:-2]
+    odd = c + F32(0.25) * ext[2:]
+    cfg_even = [(0, 1, 1), (0, 0, 0), (0, 0, 0)]
+    cfg_odd = [(1, 0, 1), (0, 0, 0), (0, 0, 0)]
+    zero = F32(0)
+    out = lax.pad(even, zero, cfg_even) + lax.pad(odd, zero, cfg_odd)
+    for axis in (1, 2):
+        out = mesh_ops._prolong_axis(out, axis)
+    return out
+
+
+def gauss_seidel_slab(x, b, n_dev: int, f_relax: float = F_RELAX,
+                      rhs=None) -> jax.Array:
+    """Red-black over-relaxed sweep with global parity; one halo exchange
+    per colour half (the opposite colour is frozen during a half).
+
+    With ``rhs`` it smooths the reformulated FAS equation
+    x = (sum_nb - h^2 b)/6 + rhs (laplacian.gauss_seidel_with_rhs)."""
+    planes, m = x.shape[0], x.shape[1]
+    h2b = F32(1.0 / (m * m)) * b
+    invsix = F32(1.0 / 6.0)
+    fr = F32(f_relax)
+    parity = _global_parity(planes, m)
+
+    def half(i, x):
+        mask = parity == (1 - i)
+        x_target = (neighbour_sum_slab(x, n_dev) - h2b) * invsix
+        if rhs is not None:
+            x_target = x_target + rhs
+        return jnp.where(mask, x + fr * (x_target - x), x)
+
+    return half(1, half(0, x))
+
+
+def smoothing_slab(x, b, n_smoothing: int, n_dev: int, rhs=None):
+    for _ in range(n_smoothing):
+        x = gauss_seidel_slab(x, b, n_dev, rhs=rhs)
+    return x
+
+
+def _gather_full(x_local: jax.Array) -> jax.Array:
+    return lax.all_gather(x_local, AXIS, axis=0, tiled=True)
+
+
+def _local_slice(x_full: jax.Array, n_dev: int) -> jax.Array:
+    planes = x_full.shape[0] // n_dev
+    r = lax.axis_index(AXIS)
+    return lax.dynamic_slice_in_dim(x_full, r * planes, planes, axis=0)
+
+
+def truncation_error_slab(x, n_dev) -> jax.Array:
+    t = restriction_slab(operator_slab(x, n_dev)) - operator_slab(
+        restriction_slab(x), n_dev
+    )
+    return jnp.sqrt(lax.psum(jnp.sum(t * t), AXIS))
+
+
+def V_cycle_slab(x, b, ncoarse: int, Npre: int, Npost: int, n_dev: int,
+                 level: int = 0):
+    """Linear V-cycle on the slab; thin coarse levels continue replicated
+    through models/multigrid.V_cycle (identical maths on every shard)."""
+    x = smoothing_slab(x, b, Npre, n_dev)
+    res_c = restriction_slab(b - operator_slab(x, n_dev))
+    x_c = lap.initialise_potential(res_c)
+    if mg._coarsest(level, ncoarse):
+        x_c = smoothing_slab(x_c, res_c, Npre, n_dev)
+    elif res_c.shape[0] < 4 or res_c.shape[1] <= REPLICATE_BELOW:
+        res_full = _gather_full(res_c)
+        x_full = mg.V_cycle(
+            lap.initialise_potential(res_full), res_full, ncoarse,
+            Npre, Npost, level + 1,
+        )
+        x_c = _local_slice(x_full, n_dev)
+    else:
+        x_c = V_cycle_slab(x_c, res_c, ncoarse, Npre, Npost, n_dev,
+                           level + 1)
+    x = x + prolongation_slab(x_c, n_dev)
+    return smoothing_slab(x, b, Npost, n_dev)
+
+
+def linear_slab(x, b, ncoarse: int, Npre: int, Npost: int, tolerance,
+                n_dev: int):
+    """Sharded multigrid.linear: V-cycles until the psum'd residual norm
+    beats the tolerance or stops improving (multigrid.py:76-82)."""
+    tolerance = jnp.asarray(tolerance, F32)
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (~done) & (it < mg.MAX_CYCLES)
+
+    def body(carry):
+        x, prev, it, _ = carry
+        x = V_cycle_slab(x, b, ncoarse, Npre, Npost, n_dev)
+        err = residual_error_slab(x, b, n_dev)
+        done = (err <= tolerance) | (err * F32(2) > prev)
+        return (x, err, it + 1, done)
+
+    x, _, _, _ = lax.while_loop(
+        cond, body, (x, F32(1e30), jnp.int32(0), jnp.bool_(False))
+    )
+    return x
+
+
+# ---------------------------------------------------------------------------
+# FAS (nonlinear) slab cycles
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class SlabFASOps:
+    """Slab counterpart of models.multigrid.FASOps; also carries the
+    replicated ops for the gathered coarse levels."""
+
+    smoothing: Callable  # (x, b, n, rhs) -> x            [slab]
+    operator: Callable  # (x, b) -> array                 [slab]
+    restrict_residual: Callable  # (x, b, rhs) -> coarse  [slab]
+    residual_error: Callable  # (x, b) -> scalar (psum)   [slab]
+    truncation_error: Callable  # (x, b) -> scalar (psum) [slab]
+    replicated: mg.FASOps
+
+
+def _neighbour_pow_sum_slab(x, n_dev, power):
+    xp = x * x if power == 2 else x * x * x
+    ext = exchange_halo_x(xp, 1, n_dev)
+    return (
+        ext[:-2]
+        + ext[2:]
+        + jnp.roll(xp, 1, 1)
+        + jnp.roll(xp, -1, 1)
+        + jnp.roll(xp, 1, 2)
+        + jnp.roll(xp, -1, 2)
+    )
+
+
+def _fas_ops_scalaron_slab(q, n_dev: int, n_power: int,
+                           exact_root: bool) -> SlabFASOps:
+    """f(R) scalaron ops on the slab: u^(n+1) + p u + q h^2 with
+    p = h^2 b - (1/6) sum_nb u^n (cubic n_power=2 / quartic n_power=3)."""
+    mod = cubic_mod if n_power == 2 else quartic_mod
+
+    def p_term(x, b):
+        m = x.shape[1]
+        h2 = F32(1.0 / (m * m))
+        return h2 * b - F32(1.0 / 6.0) * _neighbour_pow_sum_slab(
+            x, n_dev, n_power
+        )
+
+    def operator(x, b):
+        m = x.shape[1]
+        qh2 = F32(q) * F32(1.0 / (m * m))
+        p = p_term(x, b)
+        xpow = x * x * x if n_power == 2 else x * x * x * x
+        return xpow + p * x + qh2
+
+    def gauss_seidel(x, b, rhs):
+        m = x.shape[1]
+        h2 = 1.0 / (m * m)
+        fr = F32(F_RELAX)
+        parity = _global_parity(x.shape[0], m)
+        c0_q = F32(h2) * jnp.asarray(q, F32)
+        c0 = c0_q if rhs is None else c0_q - rhs
+
+        def half(i, x):
+            mask = parity == (1 - i)
+            p = p_term(x, b)
+            x_new = mod._newton_root(x, p, c0)
+            return jnp.where(mask, x + fr * (x_new - x), x)
+
+        return half(1, half(0, x))
+
+    def smoothing(x, b, n, rhs=None):
+        for _ in range(n):
+            x = gauss_seidel(x, b, rhs)
+        return x
+
+    def restrict_residual(x, b, rhs=None):
+        r = operator(x, b)
+        if rhs is None:
+            return -restriction_slab(r)
+        return restriction_slab(rhs - r)
+
+    def residual_error(x, b):
+        r = operator(x, b)
+        return jnp.sqrt(lax.psum(jnp.sum(r * r), AXIS))
+
+    def truncation_error(x, b):
+        RLx = restriction_slab(operator(x, b))
+        LRx = operator(restriction_slab(x), restriction_slab(b))
+        t = F32(4) * RLx - LRx
+        return jnp.sqrt(lax.psum(jnp.sum(t * t), AXIS))
+
+    replicated = (
+        mg.fas_ops_cubic(q, exact_root) if n_power == 2
+        else mg.fas_ops_quartic(q, exact_root)
+    )
+    return SlabFASOps(
+        smoothing=smoothing,
+        operator=operator,
+        restrict_residual=restrict_residual,
+        residual_error=residual_error,
+        truncation_error=truncation_error,
+        replicated=replicated,
+    )
+
+
+def fas_ops_cubic_slab(q, n_dev: int, exact_root: bool = False) -> SlabFASOps:
+    return _fas_ops_scalaron_slab(q, n_dev, 2, exact_root)
+
+
+def fas_ops_quartic_slab(q, n_dev: int,
+                         exact_root: bool = False) -> SlabFASOps:
+    return _fas_ops_scalaron_slab(q, n_dev, 3, exact_root)
+
+
+def V_cycle_FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int,
+                     Npost: int, n_dev: int, level: int = 0,
+                     rhs: Optional[jax.Array] = None):
+    """FAS V-cycle on the slab (tau-correction as multigrid.py:557-566);
+    thin coarse levels continue replicated via models/multigrid."""
+    x = ops.smoothing(x, b, Npre, rhs)
+    res_c = ops.restrict_residual(x, b, rhs)
+    x_c = restriction_slab(x)
+    b_c = restriction_slab(b)
+    if mg._coarsest(level, ncoarse):
+        res_c = F32(4) * res_c + ops.operator(x_c, b_c)
+        x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
+    elif x_c.shape[0] < 4 or x_c.shape[1] <= REPLICATE_BELOW:
+        res_c = F32(4) * res_c + ops.operator(x_c, b_c)
+        res_full = _gather_full(res_c)
+        x_full = _gather_full(x_c)
+        b_full = _gather_full(b_c)
+        # hand the remaining levels to the replicated FAS cycle; every
+        # shard computes the identical correction
+        x_corr_full = mg.V_cycle_FAS(
+            x_full, b_full, ops.replicated, ncoarse, Npre, Npost,
+            level + 1, res_full,
+        )
+        x_corr_c = _local_slice(x_corr_full, n_dev)
+    else:
+        res_c = F32(4) * res_c + ops.operator(x_c, b_c)
+        x_corr_c = V_cycle_FAS_slab(
+            x_c, b_c, ops, ncoarse, Npre, Npost, n_dev, level + 1, res_c
+        )
+    x = x + prolongation_slab(x_corr_c - x_c, n_dev)
+    return ops.smoothing(x, b, Npost, rhs)
+
+
+def FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int, Npost: int,
+             tolerance, n_dev: int):
+    tolerance = jnp.asarray(tolerance, F32)
+
+    def cond(carry):
+        _, _, it, done = carry
+        return (~done) & (it < mg.MAX_CYCLES)
+
+    def body(carry):
+        x, prev, it, _ = carry
+        x = V_cycle_FAS_slab(x, b, ops, ncoarse, Npre, Npost, n_dev)
+        err = ops.residual_error(x, b)
+        done = (err <= tolerance) | (err * F32(2) > prev)
+        return (x, err, it + 1, done)
+
+    x, _, _, _ = lax.while_loop(
+        cond, body, (x, F32(1e30), jnp.int32(0), jnp.bool_(False))
+    )
+    return x

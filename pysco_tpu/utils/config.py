@@ -147,8 +147,14 @@ DEFAULTS: Dict[str, Any] = {
     "Npost": 1,
     "epsrel": 1e-2,
     "verbose": 1,
-    # TPU-native extension (not a reference key): particle transfer engine
+    # TPU-native extensions (not reference keys):
+    # particle transfer engine: pallas | dense | scatter
     "particle_engine": "pallas",
+    # f(R) per-cell root solve: newton (f32 polish) | exact (f64 closed form)
+    "fR_root_solver": "newton",
+    # distribution: single (one chip) | slab (grids+particles sharded over
+    # every attached device, parallel/slab.py)
+    "parallel_mode": "single",
 }
 
 

@@ -118,10 +118,10 @@ def test_slab_step_matches_single_device(scheme):
     # first slab step doubles as the initial force evaluation: start from
     # acc = 0 and a zero-velocity half-kick equivalent by running the
     # reference from the same construction
-    pos_d, vel_d, acc_d, phi_d = state
+    pos_d, vel_d, acc_d, phi_d, u_d = state
     for _ in range(nsteps + 1):
-        pos_d, vel_d, acc_d, phi_d, _, diag = step_fn(
-            pos_d, vel_d, acc_d, phi_d, dyn, dt
+        pos_d, vel_d, acc_d, phi_d, u_d, _, diag = step_fn(
+            pos_d, vel_d, acc_d, phi_d, u_d, dyn, dt
         )
         assert int(diag.overflow) == 0
     got_p, got_v = slab.gather_particles(cfg, NDEV, pos_d, vel_d)
@@ -144,6 +144,105 @@ def test_slab_step_matches_single_device(scheme):
     oj = np.lexsort((want_p[:, 2], want_p[:, 1], want_p[:, 0]))
     np.testing.assert_allclose(got_p[oi], want_p[oj], atol=2e-6)
     np.testing.assert_allclose(got_v[oi], want_v[oj], atol=1e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("theory,solver_name,extra", [
+    ("newton", "multigrid", {}),
+    ("fr", "multigrid", {"fR_logfR0": 5.0, "fR_n": 1, "Om_lambda": 0.7,
+                         "Om_r": 0.0, "w0": -1.0, "wa": 0.0,
+                         "unit_l": 1.0, "unit_t": 1.0}),
+    ("mond", "multigrid", {"mond_g0": 1.2,
+                           "mond_scale_factor_exponent": 0.0,
+                           "unit_l": 3085.0, "unit_t": 1e10}),
+])
+def test_slab_step_theories_match_single_device(theory, solver_name, extra):
+    """Fully sharded step (slab multigrid/FAS, halo'd MOND source) ==
+    single-device pallas step for every gravity theory."""
+    npart = M ** 3 // 4
+    rng = np.random.default_rng(5)
+    pos = rng.random((npart, 3), dtype=np.float32)
+    vel = (0.02 * rng.standard_normal((npart, 3))).astype(np.float32)
+    param = {
+        "theory": theory, "ncoarse": 5, "npart": npart,
+        "mass_scheme": "tsc", "linear_newton_solver": solver_name,
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+        "aexp": 0.2, "Om_m": 0.3, "epsrel": 1e-3,
+        "particle_engine": "pallas",
+    }
+    param.update(extra)
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    dt = np.float32(2e-3)
+    nsteps = 2
+
+    mesh = _mesh()
+    state = slab.distribute_particles(mesh, cfg, pos, vel)
+    step_first = slab.make_slab_step(cfg, mesh, "leapfrog",
+                                     first_call=True)
+    step_next = slab.make_slab_step(cfg, mesh, "leapfrog")
+    out = step_first(*state, dyn, np.float32(0))
+    for _ in range(nsteps):
+        out = step_next(*out[:5], dyn, dt)
+        assert int(out[6].overflow) == 0
+    got_p, got_v = slab.gather_particles(cfg, NDEV, out[0], out[1])
+
+    # single-device reference: same schedule (first pm, then steps)
+    phi0, u0 = solver_mod.empty_fields(cfg)
+    p, v, acc, phi, u, _, _ = solver_mod.pm(
+        cfg, True, False, jnp.asarray(pos), jnp.asarray(vel), phi0, u0, dyn
+    )
+    state1 = (p, v, acc, phi, u)
+    for _ in range(nsteps):
+        o = integrate.step(cfg, "leapfrog", False, False, *state1, dyn, dt)
+        state1 = o[:5]
+    want_p, want_v = solver_mod.particles_to_rows(cfg, state1[0], state1[1])
+
+    assert got_p.shape == want_p.shape
+    oi = np.lexsort((got_p[:, 2], got_p[:, 1], got_p[:, 0]))
+    oj = np.lexsort((want_p[:, 2], want_p[:, 1], want_p[:, 0]))
+    np.testing.assert_allclose(got_p[oi], want_p[oj], atol=2e-6)
+    scale = max(np.abs(want_v).max(), 1e-8)
+    np.testing.assert_allclose(
+        got_v[oi], want_v[oj], atol=2e-4 * scale, rtol=2e-3
+    )
+
+
+def test_run_slab_end_to_end(tmp_path):
+    """pysco_tpu.run with parallel_mode='slab': full simulation on the
+    8-device mesh -- snapshots and P(k) written, restartable format."""
+    import pysco_tpu
+    from pysco_tpu.cosmo import write_power_spectrum_table
+    from pysco_tpu.utils import io as iostream
+
+    pk_file = tmp_path / "pk.dat"
+    write_power_spectrum_table(str(pk_file))
+    base = tmp_path / "run"
+    param = {
+        "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
+        "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
+        "ncoarse": 5, "npart": 16 ** 3, "z_start": 49, "seed": 42,
+        "position_ICS": "center", "fixed_ICS": False, "paired_ICS": False,
+        "dealiased_ICS": False, "power_spectrum_file": str(pk_file),
+        "initial_conditions": "2LPT", "base": str(base),
+        "output_snapshot_format": "HDF5", "z_out": "[40]",
+        "save_power_spectrum": "z_out", "integrator": "leapfrog",
+        "mass_scheme": "TSC", "n_reorder": 50, "Courant_factor": 1.0,
+        "max_aexp_stepping": 10, "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "epsrel": 1e-2, "verbose": 1, "parallel_mode": "slab",
+    }
+    pysco_tpu.run(param)
+    snaps = sorted(base.glob("output_*/particles_*"))
+    assert len(snaps) >= 2  # initial + z=40
+    pos, vel = iostream.read_snapshot_particles_hdf5(str(snaps[-1]))
+    assert pos.shape == (16 ** 3, 3)
+    assert np.isfinite(pos).all() and np.isfinite(vel).all()
+    assert ((pos >= 0) & (pos < 1)).all()
+    pks = sorted(base.glob("power/pk_*.dat"))
+    assert pks, "P(k) written at z_out"
+    data = np.loadtxt(pks[-1])
+    assert np.isfinite(data).all() and (data[:, 1] > 0).all()
 
 
 def test_migration_conserves_mass():
@@ -170,11 +269,13 @@ def test_migration_conserves_mass():
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     mesh = _mesh()
-    pos_d, vel_d, acc_d, phi_d = slab.distribute_particles(mesh, cfg, pos, vel)
+    pos_d, vel_d, acc_d, phi_d, u_d = slab.distribute_particles(
+        mesh, cfg, pos, vel
+    )
     step_fn = slab.make_slab_step(cfg, mesh, "leapfrog")
     for _ in range(4):
-        pos_d, vel_d, acc_d, phi_d, _, diag = step_fn(
-            pos_d, vel_d, acc_d, phi_d, dyn, np.float32(2e-3)
+        pos_d, vel_d, acc_d, phi_d, u_d, _, diag = step_fn(
+            pos_d, vel_d, acc_d, phi_d, u_d, dyn, np.float32(2e-3)
         )
         assert int(diag.overflow) == 0
     got_p = slab.gather_particles(cfg, NDEV, pos_d)
