@@ -241,6 +241,13 @@ CONFIGS = [
 def main():
     import pysco_tpu  # noqa: F401
 
+    # component table first: it needs a quiet HBM (running it after the
+    # 512^3 configs measures allocator thrash, not the kernels)
+    try:
+        components = bench_components()
+    except Exception as e:
+        components = {"failed": type(e).__name__}
+
     extra = {}
     for label, nc, npart, scheme, theory, solver_name, iters in CONFIGS:
         try:
@@ -249,10 +256,6 @@ def main():
             extra[label] = round(sps, 3)
         except Exception as e:  # record the failure, keep the headline
             extra[label] = f"failed: {type(e).__name__}"
-    try:
-        components = bench_components()
-    except Exception as e:
-        components = {"failed": type(e).__name__}
 
     cache = "bench_cpu_baseline.json"
     if os.path.exists(cache):

@@ -18,16 +18,22 @@ from time import perf_counter
 
 
 def _sync(result):
-    """Force completion of any JAX arrays in a result pytree."""
+    """Force completion of any JAX arrays in a result pytree.
+
+    A device-side reduce + scalar fetch: the only reliable barrier on
+    async backends, without shipping whole arrays to the host (a full
+    np.asarray fetch costs seconds over the tunnel).
+    """
     try:
         import jax
+        import jax.numpy as jnp
 
         for leaf in jax.tree.leaves(result):
             if hasattr(leaf, "addressable_data"):
-                # value fetch: the only reliable barrier on async backends
-                import numpy as np
-
-                np.asarray(leaf).ravel()[:1]
+                x = leaf
+                while getattr(x, "ndim", 0) > 1:
+                    x = x[0]
+                float(jnp.sum(x if x.ndim == 0 else x[:1]).real)
     except Exception:  # pragma: no cover - sync is best-effort
         pass
     return result
