@@ -46,13 +46,25 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
                 potential, u, dyn: DynScalars):
     """Deposit local shard -> psum -> replicated solve -> local gather.
 
-    Each device runs the dense sorted-plane transfer on its own particle
-    shard; only the deposited grids are all-reduced over ICI.
+    Each device runs its particle engine on its own shard; only the
+    deposited grids are all-reduced over ICI. The pallas engine shards
+    natively (each device tile-sorts and transfers its own columns
+    against the full grid); dense/scatter shard their row-major state.
     """
     n = cfg.ncells_1d
     norm = F32(n ** 3 / cfg.npart)
-    # the padded pallas engine is single-device for now; shards use dense
-    if cfg.particle_engine in ("dense", "pallas"):
+    if cfg.particle_engine == "pallas":
+        from ..ops import pallas_pm
+
+        interpret = jax.default_backend() == "cpu"
+        position, velocity, tstarts = pallas_pm.sort_particles(
+            position, velocity, n, cfg.mass_scheme
+        )
+        density = pallas_pm.deposit(
+            position, tstarts, n, cfg.mass_scheme, interpret
+        )
+        overflow = jnp.int32(0)
+    elif cfg.particle_engine == "dense":
         position, velocity, starts = dense_pm.sort_by_plane(
             position, n, cfg.mass_scheme, velocity
         )
@@ -62,12 +74,17 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
         density = mesh_ops.deposit(position, n, cfg.mass_scheme)
         overflow = jnp.int32(0)
     density = jax.lax.psum(density, "dp")
-    if n ** 3 != cfg.npart:
-        density = density * norm
+    density = density * norm
     force, potential, u, _ = solver_mod._solve_fields(
         cfg, first_call, False, density, potential, u, dyn
     )
-    if cfg.particle_engine in ("dense", "pallas"):
+    if cfg.particle_engine == "pallas":
+        from ..ops import pallas_pm
+
+        acc = pallas_pm.gather_vec(
+            force, position, tstarts, cfg.mass_scheme, interpret
+        )
+    elif cfg.particle_engine == "dense":
         acc = dense_pm.gather_vec(force, position, starts, cfg.mass_scheme)
     else:
         acc = mesh_ops.gather_vec(force, position, cfg.mass_scheme)
@@ -80,13 +97,27 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
     replicated. Returns ``fn(pos, vel, acc, phi, u, dyn, dt) -> state'``."""
 
     dyn_specs = jax.tree.map(lambda _: P(), DynScalars(*[0.0] * 10))
+    # pallas column state (4, N_up) shards on the column axis; the
+    # dense/scatter row state (N, 3) shards on the row axis
+    if cfg.particle_engine == "pallas":
+        from ..ops.pallas_pm import Q, padded_cols
+
+        n_dev = mesh.devices.size
+        if padded_cols(cfg.npart) % (n_dev * Q):
+            raise ValueError(
+                f"npart={cfg.npart}: the pallas column state must split "
+                f"into Q={Q}-aligned shards on {n_dev} devices; pick "
+                "npart a multiple of Q * n_devices or use "
+                "particle_engine='dense'"
+            )
+    pspec = P(None, "dp") if cfg.particle_engine == "pallas" else P("dp")
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P("dp"), P("dp"), P("dp"), P(), P(), dyn_specs, P()),
+        in_specs=(pspec, pspec, pspec, P(), P(), dyn_specs, P()),
         out_specs=(
-            P("dp"), P("dp"), P("dp"), P(), P(),
+            pspec, pspec, pspec, P(), P(),
             StepDiagnostics(P(), P(), P(), P()),
         ),
         check_vma=False,
@@ -123,8 +154,13 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
 
 
 def shard_state(mesh: Mesh, position, velocity, acceleration, potential, u):
-    """Place state on the mesh: particles sharded, fields replicated."""
-    shard_p = NamedSharding(mesh, P("dp"))
+    """Place state on the mesh: particles sharded, fields replicated.
+
+    Column-layout (4, N_up) particle arrays shard along the column axis,
+    row-major (N, 3) arrays along the row axis.
+    """
+    columnar = position.ndim == 2 and position.shape[0] == 4
+    shard_p = NamedSharding(mesh, P(None, "dp") if columnar else P("dp"))
     repl = NamedSharding(mesh, P())
     return (
         jax.device_put(position, shard_p),

@@ -42,11 +42,21 @@ def _canonical(pos, vel):
     return pos[order], vel[order]
 
 
+def _shard_rows(cfg, pos, vel):
+    """Sharded output -> (n, 3) real rows (drops pallas sentinel columns,
+    which sit per-shard rather than in one global tail)."""
+    pos, vel = np.array(pos), np.array(vel)
+    if pos.ndim == 2 and pos.shape[0] == 4:
+        real = pos[0] < 1.5
+        return pos[:3, real].T, vel[:3, real].T
+    return pos, vel
+
+
 def test_multidevice_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("engine", ["scatter", "dense"])
+@pytest.mark.parametrize("engine", ["scatter", "dense", "pallas"])
 def test_sharded_step_matches_single_device(engine):
     cfg, dyn, pos, vel, acc, phi, u = _setup(engine)
     dt = np.float32(5e-3)
@@ -62,8 +72,8 @@ def test_sharded_step_matches_single_device(engine):
 
     # particle order may differ (global vs per-shard plane sort):
     # compare canonically ordered rows
-    rp, rv = _canonical(ref[0], ref[1])
-    gp, gv = _canonical(got[0], got[1])
+    rp, rv = _canonical(*solver_mod.particles_to_rows(cfg, ref[0], ref[1]))
+    gp, gv = _canonical(*_shard_rows(cfg, got[0], got[1]))
     np.testing.assert_allclose(rp, gp, atol=1e-6)
     np.testing.assert_allclose(rv, gv, atol=1e-5, rtol=1e-4)
     # replicated fields identical up to psum rounding
