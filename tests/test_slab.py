@@ -245,6 +245,38 @@ def test_run_slab_end_to_end(tmp_path):
     assert np.isfinite(data).all() and (data[:, 1] > 0).all()
 
 
+def test_run_slab_restart(tmp_path):
+    """Slab-mode restart from a snapshot written by a slab-mode run."""
+    import pysco_tpu
+    from pysco_tpu.cosmo import write_power_spectrum_table
+
+    pk_file = tmp_path / "pk.dat"
+    write_power_spectrum_table(str(pk_file))
+    base = tmp_path / "run"
+    param = {
+        "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
+        "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
+        "ncoarse": 5, "npart": 16 ** 3, "z_start": 49, "seed": 42,
+        "position_ICS": "center", "fixed_ICS": False, "paired_ICS": False,
+        "dealiased_ICS": False, "power_spectrum_file": str(pk_file),
+        "initial_conditions": "2LPT", "base": str(base),
+        "output_snapshot_format": "HDF5", "z_out": "[44]",
+        "save_power_spectrum": "no", "integrator": "leapfrog",
+        "mass_scheme": "TSC", "n_reorder": 50, "Courant_factor": 1.0,
+        "max_aexp_stepping": 10, "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "epsrel": 1e-2, "verbose": 0, "parallel_mode": "slab",
+    }
+    pysco_tpu.run(dict(param))
+    # restart from snapshot 1 and continue to z=42
+    param2 = dict(param)
+    param2["initial_conditions"] = 1
+    param2["z_out"] = "[42]"
+    pysco_tpu.run(param2)
+    snaps = sorted(base.glob("output_*/particles_*"))
+    assert len(snaps) >= 2
+
+
 def test_migration_conserves_mass():
     """Particles placed on slab boundaries with velocities crossing them
     must keep total deposited mass exact across steps."""
