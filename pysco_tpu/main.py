@@ -135,13 +135,21 @@ def run(param) -> None:
     if verbose >= 2 and cfg.particle_engine == "pallas":
         # one-time per-component force-evaluation breakdown (the @time_me
         # per-kernel timings of the reference have no equivalent inside a
-        # fused XLA step; this is the observable substitute)
+        # fused XLA step; this is the observable substitute). It clones
+        # the particle state, so it can exhaust HBM at the largest
+        # single-chip sizes -- skip gracefully in that case.
         from .utils.profiling import component_breakdown
 
-        logging.info(
-            "force-evaluation component timings: %s",
-            component_breakdown(cfg, position, velocity, dyn),
-        )
+        try:
+            logging.info(
+                "force-evaluation component timings: %s",
+                component_breakdown(cfg, position, velocity, dyn),
+            )
+        except Exception as e:
+            logging.warning(
+                "component timing breakdown skipped (%s: needs a state "
+                "clone; insufficient HBM at this size)", type(e).__name__,
+            )
 
     aexp_out = np.sort(1.0 / (np.array(z_out, dtype=np.float64) + 1))
     t_out = np.array([float(tables[1](np.log(a))) for a in aexp_out])
@@ -189,7 +197,18 @@ def run(param) -> None:
         save_pk = pk_mode == "yes" or (
             pk_mode == "z_out" and param["write_snapshot"]
         )
+        profile_dir = param.get("profile_dir", "")
+        if profile_dir and param["nsteps"] == 2:
+            # capture a device trace of one steady-state step (step 1 pays
+            # compilation; reference hook: utils.py:60-136 profile_me)
+            from .utils.profiling import trace as profiler_trace
+
+            profile_cm = profiler_trace(str(profile_dir))
+        else:
+            profile_cm = None
         t_step0 = perf_counter()
+        if profile_cm is not None:
+            profile_cm.__enter__()
         (position, velocity, acceleration, potential, u, pk, diag) = (
             integration.step_donated(
                 cfg, integrator, first_call, save_pk,
@@ -197,6 +216,9 @@ def run(param) -> None:
                 np.float32(dt),
             )
         )
+        if profile_cm is not None:
+            float(jnp.sum(position[:1]))  # barrier inside the trace window
+            profile_cm.__exit__(None, None, None)
         if save_pk:
             _write_pk(pk, param)
         max_abs_acc = float(diag.max_abs_acc)

@@ -232,15 +232,19 @@ def _axis_diff(a: jax.Array, axis: int, order: int) -> jax.Array:
     raise NotImplementedError(f"gradient stencil order {order}, should be 2, 3, 5 or 7")
 
 
-def derivative(a: jax.Array, order: int) -> jax.Array:
-    """Gradient of a scalar grid -> (N, N, N, 3)."""
+def derivative(a: jax.Array, order: int, leading: bool = False) -> jax.Array:
+    """Gradient of a scalar grid -> (N, N, N, 3), or (3, N, N, N) with
+    ``leading=True`` (component-leading: what the Pallas gather consumes
+    directly, avoiding a full-field transpose copy)."""
     return jnp.stack(
-        [_axis_diff(a, ax, order) for ax in range(3)], axis=-1
+        [_axis_diff(a, ax, order) for ax in range(3)],
+        axis=0 if leading else -1,
     )
 
 
 def derivative_fR(
-    a: jax.Array, b: jax.Array, f, fR_n: int, order: int
+    a: jax.Array, b: jax.Array, f, fR_n: int, order: int,
+    leading: bool = False,
 ) -> jax.Array:
     """f(R) force mesh: grad(a) + f * grad(b**(fR_n+1)).
 
@@ -253,7 +257,7 @@ def derivative_fR(
         combined = a + f * b * b * b
     else:
         raise NotImplementedError(f"fR_n must be 1 or 2, got {fR_n}")
-    return derivative(combined, order)
+    return derivative(combined, order, leading)
 
 
 def divergence(a: jax.Array, order: int) -> jax.Array:

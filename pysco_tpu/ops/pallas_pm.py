@@ -375,8 +375,8 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
     def kernel(starts_ref, pos_hbm, fext_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed output)
 
-        def run(pos_buf, cur_buf, fwin, out_buf, sem_in, sem_cur, sem_f,
-                sem_out):
+        def run(pos_buf, cur_buf, fwin, fw_flat, out_buf, sem_in, sem_cur,
+                sem_f, sem_out):
             def tile_body(t, _):
                 start = starts_ref[t]
                 end = starts_ref[t + 1]
@@ -412,6 +412,10 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
 
                     start_dma(c0, lax.rem(c0, jnp.int32(2)))
                     fdma.wait()
+                    # flatten the window once per tile (doing it per chunk
+                    # re-materialises 147 KB through the VPU every 512
+                    # particles)
+                    fw_flat[...] = fwin[...].reshape(ncomp * rows, wz_pad)
 
                     def chunk_body(c, _):
                         slot = lax.rem(c, jnp.int32(2))
@@ -435,9 +439,8 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
                         )
                         # one fused MXU dot over all components:
                         # (C*rows, WZ) x (WZ, P) -> (C*rows, P)
-                        fw = fwin[...].reshape(ncomp * rows, wz_pad)
                         t1 = lax.dot_general(
-                            fw, wz_mat, (((1,), (0,)), ((), ())),
+                            fw_flat[...], wz_mat, (((1,), (0,)), ((), ())),
                             preferred_element_type=F32,
                             precision=lax.Precision.HIGHEST,
                         ).reshape(ncomp, rows, Q)
@@ -495,6 +498,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
             pos_buf=pltpu.VMEM((2, 4, Q), F32),
             cur_buf=pltpu.VMEM((2, 4, Q), F32),
             fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
+            fw_flat=pltpu.VMEM((ncomp * rows, wz_pad), F32),
             out_buf=pltpu.VMEM((2, 4, Q), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
             sem_cur=pltpu.SemaphoreType.DMA((2,)),
@@ -564,3 +568,38 @@ def gather_vec(field, position_sorted, tile_starts, scheme: str,
     return gather_vec_slab(
         field_ext, position_sorted, tile_starts, scheme, interpret
     )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
+                  interpret: bool = False) -> jax.Array:
+    """Component-leading variant: field (C, M, M, M) -- skips the
+    full-field transpose copy that (M, M, M, C) input would need."""
+    m = field_cl.shape[1]
+    ncomp = field_cl.shape[0]
+    scheme = scheme.casefold()
+    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+    npad = position_sorted.shape[1]
+
+    fc = field_cl
+    if w > 1:
+        fc = jnp.concatenate([fc, fc[:, : w - 1]], axis=1)
+    fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
+    if wz_pad > m:
+        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
+
+    zeros = jnp.zeros((4, npad), F32)
+    out = pl.pallas_call(
+        _gather_kernel(scheme, m, ncomp, m),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((4, npad), F32),
+        input_output_aliases={3: 0},
+        interpret=interpret,
+    )(tile_starts, position_sorted, fc, zeros)
+    return out

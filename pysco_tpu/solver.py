@@ -300,9 +300,10 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
         if n ** 3 != cfg.npart:
             density = density * norm
         force, potential, u, pk = _solve_fields(
-            cfg, first_call, save_pk, density, potential, u, dyn
+            cfg, first_call, save_pk, density, potential, u, dyn,
+            leading=True,
         )
-        acceleration = pallas_pm.gather_vec(
+        acceleration = pallas_pm.gather_vec_cl(
             force, position, tstarts, cfg.mass_scheme, interpret
         )
         overflow = jnp.int32(0)  # range-masked chunks cannot overflow
@@ -341,9 +342,12 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
 
 
 def _solve_fields(cfg: SolverConfig, first_call: bool, save_pk: bool,
-                  density, potential, u, dyn: DynScalars):
+                  density, potential, u, dyn: DynScalars,
+                  leading: bool = False):
     """Field solve given the normalised density grid: additional-field +
-    Poisson solve + force mesh. Returns (force, potential, u, pk)."""
+    Poisson solve + force mesh. Returns (force, potential, u, pk);
+    ``leading=True`` lays the force out component-leading (3, M, M, M) --
+    what the Pallas gather consumes without a transpose copy."""
     pk = None
     if save_pk:
         # Density power spectrum with MAS compensation; all reference
@@ -362,10 +366,12 @@ def _solve_fields(cfg: SolverConfig, first_call: bool, save_pk: bool,
 
     if cfg.linear_newton_solver == "full_fft":
         force = _fft_force(cfg, rhs)
+        if leading:
+            force = jnp.moveaxis(force, -1, 0)
         if cfg.theory == "fr":
             force = force + mesh.derivative_fR(
                 jnp.zeros_like(rhs), u, dyn.fR_half_c2, cfg.fR_n,
-                cfg.gradient_stencil_order,
+                cfg.gradient_stencil_order, leading,
             )
         potential_out = potential  # unused on this path
     else:
@@ -373,10 +379,12 @@ def _solve_fields(cfg: SolverConfig, first_call: bool, save_pk: bool,
         if cfg.theory == "fr":
             force = mesh.derivative_fR(
                 potential_out, u, dyn.fR_half_c2, cfg.fR_n,
-                cfg.gradient_stencil_order,
+                cfg.gradient_stencil_order, leading,
             )
         else:
-            force = mesh.derivative(potential_out, cfg.gradient_stencil_order)
+            force = mesh.derivative(
+                potential_out, cfg.gradient_stencil_order, leading
+            )
 
     return force, potential_out, u, pk
 
