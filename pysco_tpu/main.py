@@ -132,7 +132,8 @@ def run(param) -> None:
     if save_pk_first:
         _write_pk(pk, param)
 
-    if verbose >= 2 and cfg.particle_engine == "pallas":
+    if (verbose >= 2 and cfg.particle_engine == "pallas"
+            and cfg.npart <= 256 ** 3):
         # one-time per-component force-evaluation breakdown (the @time_me
         # per-kernel timings of the reference have no equivalent inside a
         # fused XLA step; this is the observable substitute). It clones

@@ -61,6 +61,10 @@ class SolverConfig:
     # closed-form roots (cubic.py:162-207 / quartic.py:157-204) --
     # bit-faithful but emulated-f64 slow on TPU.
     fR_root_solver: str = "newton"
+    # multigrid cycle type for the linear and FAS drivers: V (the
+    # reference driver's choice, multigrid.py:76-82/131-137), F or W
+    # (reference multigrid.py:583-858)
+    multigrid_cycle: str = "V"
 
     @property
     def ncells_1d(self) -> int:
@@ -90,6 +94,9 @@ def config_from_param(param) -> SolverConfig:
         fR_root_solver=str(param.get("fR_root_solver", "newton")).casefold()
         if hasattr(param, "get")
         else "newton",
+        multigrid_cycle=str(param.get("multigrid_cycle", "V")).upper()
+        if hasattr(param, "get")
+        else "V",
     )
 
 
@@ -191,7 +198,8 @@ def _linear_solve(cfg: SolverConfig, rhs, potential, dyn, first_call: bool):
             potential = potential * dyn.potential_scaling
         tolerance = dyn.epsrel * laplacian.truncation_error(potential)
         return multigrid.linear(
-            potential, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+            potential, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance,
+            cfg.multigrid_cycle,
         )
     if solver in ("fft", "fft_7pt"):
         rhs_k = fourier.rfft3(rhs)
@@ -238,7 +246,8 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
             raise NotImplementedError(f"fR_n must be 1 or 2, got {cfg.fR_n}")
         tolerance = dyn.epsrel * ops.truncation_error(u, dens_term)
         return multigrid.FAS(
-            u, dens_term, ops, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+            u, dens_term, ops, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance,
+            cfg.multigrid_cycle,
         )
     if theory == "mond":
         # Newtonian potential solve; the result is the "additional field".
@@ -250,7 +259,8 @@ def _additional_field(cfg: SolverConfig, density, u, dyn, first_call: bool):
                 u = laplacian.initialise_potential(rhs_newton)
             tolerance = dyn.epsrel * laplacian.truncation_error(u)
             return multigrid.linear(
-                u, rhs_newton, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance
+                u, rhs_newton, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance,
+                cfg.multigrid_cycle,
             )
         if cfg.linear_newton_solver == "fft_7pt":
             return fourier.irfft3(

@@ -152,6 +152,8 @@ DEFAULTS: Dict[str, Any] = {
     "particle_engine": "pallas",
     # f(R) per-cell root solve: newton (f32 polish) | exact (f64 closed form)
     "fR_root_solver": "newton",
+    # multigrid cycle type: V | F | W (linear and FAS drivers)
+    "multigrid_cycle": "V",
     # distribution: single (one chip) | slab (grids+particles sharded over
     # every attached device, parallel/slab.py)
     "parallel_mode": "single",

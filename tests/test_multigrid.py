@@ -118,3 +118,40 @@ def test_reformulated_consistency():
         np.asarray(laplacian.operator(x)) - np.asarray(b)
     )
     np.testing.assert_allclose(np.asarray(ref), expect, atol=1e-5)
+
+
+def test_cycle_types_through_solver_config():
+    """F and W cycles are selectable via the multigrid_cycle key and solve
+    to the same answer as V (reference multigrid.py:583-858)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from pysco_tpu import solver as solver_mod
+
+    n = 16
+    npart = n ** 3
+    rng = np.random.default_rng(11)
+    pos = jnp.asarray(rng.random((npart, 3), dtype=np.float32))
+    accs = {}
+    for cycle in ("V", "F", "W"):
+        param = {
+            "theory": "newton", "ncoarse": 4, "npart": npart,
+            "mass_scheme": "tsc", "linear_newton_solver": "multigrid",
+            "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+            "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+            "aexp": 0.1, "Om_m": 0.3, "epsrel": 1e-4,
+            "multigrid_cycle": cycle,
+        }
+        cfg = solver_mod.config_from_param(param)
+        assert cfg.multigrid_cycle == cycle
+        dyn = solver_mod.compute_dynamics(param)
+        phi0, u0 = solver_mod.empty_fields(cfg)
+        _, _, acc, _, _, _, _ = solver_mod.pm(
+            cfg, True, False, pos, None, phi0, u0, dyn
+        )
+        (accs[cycle],) = solver_mod.particles_to_rows(cfg, acc)
+    scale = np.abs(accs["V"]).max()
+    for cycle in ("F", "W"):
+        np.testing.assert_allclose(
+            accs[cycle], accs["V"], atol=1e-4 * scale, err_msg=cycle
+        )
