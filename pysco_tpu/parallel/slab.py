@@ -324,6 +324,25 @@ def derivative_fR_slab(phi_local, u_local, f, fR_n: int, order: int,
     return derivative_slab(combined, order, n_dev)
 
 
+def gradient_inverse_laplacian_slab(xk: jax.Array, m: int, p: int,
+                                    n_dev: int) -> jax.Array:
+    """full_fft force kernel on the pencil layout: -i k_n/(2 pi k^2) x
+    with optional MAS compensation; returns the real-space force slab
+    (P, M, M, 3) via three inverse pencil FFTs (fourier.py:606-729)."""
+    kx, ky, kz = _wavenumbers_slab(m, xk.shape[1])
+    k2 = kx * kx + ky * ky + kz * kz
+    dc = (kx == 0) & (ky == 0) & (kz == 0)
+    k2 = jnp.where(dc, F32(1), k2)
+    ratio = F32(0.5 / jnp.pi) / k2
+    if p:
+        h = F32(1.0 / m)
+        w = jnp.sinc(kx * h) * jnp.sinc(ky * h) * jnp.sinc(kz * h)
+        ratio = ratio * w ** (-2 * p)
+    tmp = jnp.where(dc, jnp.complex64(0), jnp.complex64(-1j) * ratio * xk)
+    comps = [irfft3_slab(tmp * kk, m) for kk in (kx, ky, kz)]
+    return jnp.stack(comps, axis=-1)
+
+
 def _linear_solve_slab(cfg: SolverConfig, rhs, phi, dyn, m: int, n_dev: int,
                        first_call: bool):
     """Poisson solve dispatch on the slab (solver._linear_solve)."""
@@ -408,6 +427,18 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
                             cfg.mond_alpha, n_dev)
     else:
         rhs = f1 * (density - F32(1))
+
+    if cfg.linear_newton_solver == "full_fft":
+        # solve and differentiate entirely in k-space (solver.py:526-579)
+        force = gradient_inverse_laplacian_slab(
+            rfft3_slab(rhs, n_dev), m, cfg.mas_index, n_dev
+        )
+        if theory == "fr":
+            force = force + derivative_fR_slab(
+                jnp.zeros_like(rhs), u, dyn.fR_half_c2, cfg.fR_n,
+                cfg.gradient_stencil_order, n_dev,
+            )
+        return force, phi, u, pk
 
     phi = _linear_solve_slab(cfg, rhs, phi, dyn, m, n_dev, first_call)
     if theory == "fr":

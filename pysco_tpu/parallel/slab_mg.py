@@ -38,10 +38,6 @@ F32 = jnp.float32
 REPLICATE_BELOW = 32
 
 
-def _grids(n_dev: int):
-    return None
-
-
 def _global_parity(planes: int, m: int):
     r = lax.axis_index(AXIS)
     ii = lax.broadcasted_iota(jnp.int32, (planes, m, m), 0) + r * planes

@@ -148,6 +148,7 @@ def test_slab_step_matches_single_device(scheme):
 
 @pytest.mark.parametrize("theory,solver_name,extra", [
     ("newton", "multigrid", {}),
+    ("newton", "full_fft", {}),
     ("fr", "multigrid", {"fR_logfR0": 5.0, "fR_n": 1, "Om_lambda": 0.7,
                          "Om_r": 0.0, "w0": -1.0, "wa": 0.0,
                          "unit_l": 1.0, "unit_t": 1.0}),
