@@ -270,7 +270,8 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     n_dev = mesh.devices.size
     logging.warning("slab mode: %d devices, %d planes each",
                     n_dev, cfg.ncells_1d // n_dev)
-    state = slab.distribute_particles(mesh, cfg, position, velocity)
+    slack = float(param.get("slab_slack", 1.25))
+    state = slab.distribute_particles(mesh, cfg, position, velocity, slack)
     step_fns = {}
 
     def step_fn(save_pk, first_call=False):

@@ -452,8 +452,7 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
 
 
 def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
-                   save_pk: bool = False, slack: float = 1.25,
-                   first_call: bool = False):
+                   save_pk: bool = False, first_call: bool = False):
     """Build the jitted slab-sharded KDK step.
 
     State per shard: pos/vel column arrays (4, C) with sentinel empties,

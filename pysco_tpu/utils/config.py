@@ -157,6 +157,9 @@ DEFAULTS: Dict[str, Any] = {
     # distribution: single (one chip) | slab (grids+particles sharded over
     # every attached device, parallel/slab.py)
     "parallel_mode": "single",
+    # slab mode per-shard particle capacity factor (slabs inherit the
+    # x-density imbalance once structure forms; overflow is detected)
+    "slab_slack": 1.25,
 }
 
 
