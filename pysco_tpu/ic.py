@@ -16,8 +16,7 @@ Spectral helpers here are small float32 NumPy mirrors of
 from __future__ import annotations
 
 import logging
-import math
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -18,7 +18,6 @@ from typing import Dict
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 from . import cosmo, ic

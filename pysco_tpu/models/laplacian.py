@@ -15,8 +15,6 @@ values as the reference's loop kernels, without atomics or loop coloring.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -22,8 +22,6 @@ Parity map (reference ``mesh.py``):
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

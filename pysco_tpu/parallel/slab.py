@@ -40,7 +40,6 @@ import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .. import solver as solver_mod
 from ..integrate import StepDiagnostics
 from ..ops import pallas_pm
 from ..ops.dense_pm import _WIDTH, _base_axis
