@@ -32,7 +32,7 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
-from .main import run  # noqa: E402,F401
+from .main import run, run_paired  # noqa: E402,F401
 from .utils.config import read_param_file  # noqa: E402,F401
 
 __version__ = "0.1.0"

@@ -139,3 +139,40 @@ def test_restart_roundtrip(tmp_path):
     pysco_tpu.run(param2)
     snaps = glob.glob(f"{param2['base']}/output_00002/particles_*.h5")
     assert snaps
+
+
+def test_run_paired(tmp_path):
+    """Paired-and-fixed driver: both phases run, P(k) averaged."""
+    import glob
+
+    import pysco_tpu
+    from pysco_tpu.cosmo import write_power_spectrum_table
+
+    pk_file = tmp_path / "pk.dat"
+    write_power_spectrum_table(str(pk_file))
+    base = tmp_path / "paired"
+    param = {
+        "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
+        "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
+        "ncoarse": 4, "npart": 16 ** 3, "z_start": 49, "seed": 7,
+        "position_ICS": "center", "dealiased_ICS": False,
+        "power_spectrum_file": str(pk_file),
+        "initial_conditions": "1LPT", "base": str(base),
+        "output_snapshot_format": "HDF5", "z_out": "[44]",
+        "save_power_spectrum": "z_out", "integrator": "leapfrog",
+        "mass_scheme": "TSC", "n_reorder": 50, "Courant_factor": 1.0,
+        "max_aexp_stepping": 10, "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "epsrel": 1e-2, "verbose": 0,
+    }
+    pysco_tpu.run_paired(param)
+    import numpy as np
+
+    avg = sorted(glob.glob(str(base / "power" / "pk_*.dat")))
+    assert avg, "averaged P(k) written"
+    a = np.loadtxt(sorted(glob.glob(str(base / "pair_A/power/pk_*.dat")))[-1])
+    b = np.loadtxt(sorted(glob.glob(str(base / "pair_B/power/pk_*.dat")))[-1])
+    m = np.loadtxt(avg[-1])
+    np.testing.assert_allclose(m[:, 1], 0.5 * (a[:, 1] + b[:, 1]), rtol=1e-5)
+    # the pair really differs (opposite phases), but shares amplitudes
+    assert not np.allclose(a[:, 1], b[:, 1])
