@@ -205,6 +205,58 @@ def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
     return pos, vel, acc_new
 
 
+def bench_lazy(scheme="cic", iters_outer=4):
+    """Lazy re-binning step rates at 256^3: sort skipped every step (the
+    early-epoch regime, drift bound << 1 cell) and sort-every-2nd (the
+    realistic late-time cadence at Courant ~0.5)."""
+    import jax.numpy as jnp
+    from pysco_tpu import integrate, solver as solver_mod
+
+    param = {
+        "theory": "newton", "ncoarse": NCOARSE, "npart": NPART,
+        "mass_scheme": scheme, "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+        "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
+        "particle_engine": "pallas",
+    }
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    pos, vel = _device_state(NPART)
+    phi, u = solver_mod.empty_fields(cfg)
+    pos, vel, acc, phi, u, _, _ = solver_mod.pm_donated(
+        cfg, True, False, pos, vel, phi, u, dyn
+    )
+    _sync(acc)
+    m = 2 ** NCOARSE
+    tstarts = jnp.zeros(m * (m // 8) + 1, jnp.int32)
+    state = (pos, vel, acc, phi, u, tstarts)
+    dt = np.float32(1e-3)
+
+    def lstep(state, presorted):
+        out = integrate.step_lazy(cfg, "leapfrog", presorted, False,
+                                  *state, dyn, dt)
+        return out[:6]
+
+    state = lstep(state, False)
+    state = lstep(state, True)
+    _sync(state)
+    out = {}
+    for label, pattern in (("skip", [True]), ("alt", [False, True])):
+        state = lstep(state, False)
+        _sync(state)
+        t0 = time.perf_counter()
+        iters = 0
+        for _ in range(iters_outer):
+            for p in pattern:
+                state = lstep(state, p)
+                iters += 1
+        _sync(state)
+        out[label] = round(iters / (time.perf_counter() - t0), 3)
+    del state
+    return out
+
+
 def bench_cpu_baseline() -> float:
     n = 2 ** NCOARSE
     rng = np.random.default_rng(1)
@@ -249,6 +301,12 @@ def main():
         components = {"failed": type(e).__name__}
 
     extra = {}
+    try:
+        lz = bench_lazy("cic")
+        extra["newton_cic_fft_256_lazy_skip"] = lz["skip"]
+        extra["newton_cic_fft_256_lazy_alternating"] = lz["alt"]
+    except Exception as e:
+        extra["newton_cic_fft_256_lazy_skip"] = f"failed: {type(e).__name__}"
     for label, nc, npart, scheme, theory, solver_name, iters in CONFIGS:
         try:
             sps = bench_config(nc, npart, scheme, theory, solver_name,

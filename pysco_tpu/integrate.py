@@ -74,7 +74,49 @@ def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
     return position, velocity, acceleration, potential, u, pk, diag
 
 
+def step_lazy_impl(cfg: SolverConfig, integrator: str, presorted: bool,
+                   save_pk: bool, position, velocity, acceleration,
+                   potential, u, tstarts, dyn: DynScalars, dt):
+    """KDK/Euler step on the pallas engine with CFL-bounded lazy
+    re-binning (solver._pm_lazy_impl): ``presorted=True`` skips the tile
+    sort and uses drift-widened kernels; the caller guards it with the
+    accumulated host-side drift bound. ``tstarts`` rides in the state.
+    """
+    dt = F32(dt)
+    if integrator == "leapfrog":
+        half_dt = F32(0.5) * dt
+        velocity = velocity - acceleration * half_dt
+        position = mesh.periodic_wrap(position + velocity * dt)
+        (position, velocity, tstarts, acceleration, potential, u,
+         pk) = solver_mod._pm_lazy_impl(
+            cfg, presorted, save_pk, position, velocity, tstarts,
+            potential, u, dyn,
+        )
+        velocity = velocity - acceleration * half_dt
+    elif integrator == "euler":
+        position = mesh.periodic_wrap(position + velocity * dt)
+        velocity = velocity - acceleration * dt
+        (position, velocity, tstarts, acceleration, potential, u,
+         pk) = solver_mod._pm_lazy_impl(
+            cfg, presorted, save_pk, position, velocity, tstarts,
+            potential, u, dyn,
+        )
+    else:
+        raise NotImplementedError(integrator)
+    diag = _diagnostics(acceleration, velocity, u, jnp.int32(0))
+    return (position, velocity, acceleration, potential, u, tstarts, pk,
+            diag)
+
+
 step = partial(jax.jit, static_argnums=(0, 1, 2, 3))(step_impl)
+
+# Lazy-binning production variant (pallas engine): donates the state.
+# Positional args: 4=position 5=velocity 6=acceleration 7=potential 8=u
+# 9=tstarts.
+step_lazy = partial(
+    jax.jit, static_argnums=(0, 1, 2, 3),
+    donate_argnums=(4, 5, 6, 7, 8, 9),
+)(step_lazy_impl)
 
 # Production variant: donates the particle/field state so XLA reuses the
 # old buffers in place (the run loop never touches pre-step state again).

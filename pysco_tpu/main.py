@@ -164,6 +164,21 @@ def run(param) -> None:
     max_abs_vel = float(jnp.max(jnp.abs(velocity)))
     first_call = False
 
+    # CFL-bounded lazy re-binning (pallas engine): skip the per-step tile
+    # sort while the accumulated drift bound since the last sort stays
+    # under one cell -- the drift-widened kernels stay exact up to that
+    # bound (ops/pallas_pm.py). cum_drift > 1 forces a sort.
+    lazy = bool(param.get("lazy_sort", True)) and (
+        cfg.particle_engine == "pallas"
+    )
+    if lazy:
+        from .ops import pallas_pm
+
+        ncells = cfg.ncells_1d
+        ntiles = ncells * (ncells // pallas_pm.YB)
+        tstarts = jnp.zeros(ntiles + 1, jnp.int32)
+        cum_drift = np.inf  # no binning yet: first loop step sorts
+
     while param["aexp"] < aexp_out[-1]:
         param["nsteps"] = int(param["nsteps"]) + 1
 
@@ -209,13 +224,31 @@ def run(param) -> None:
         t_step0 = perf_counter()
         if profile_cm is not None:
             profile_cm.__enter__()
-        (position, velocity, acceleration, potential, u, pk, diag) = (
-            integration.step_donated(
-                cfg, integrator, first_call, save_pk,
-                position, velocity, acceleration, potential, u, dyn,
-                np.float32(dt),
+        if lazy:
+            step_bound = (
+                max_abs_vel * dt + 0.5 * max_abs_acc * dt * dt
+            ) * cfg.ncells_1d
+            presorted = (cum_drift + step_bound) <= 0.99
+            (position, velocity, acceleration, potential, u, tstarts, pk,
+             diag) = integration.step_lazy(
+                cfg, integrator, presorted, save_pk,
+                position, velocity, acceleration, potential, u, tstarts,
+                dyn, np.float32(dt),
             )
-        )
+            if presorted:
+                cum_drift += step_bound
+                logging.info("lazy re-binning: sort skipped "
+                             "(drift bound %.3f cells)", cum_drift)
+            else:
+                cum_drift = 0.0  # this step sorted after its drift
+        else:
+            (position, velocity, acceleration, potential, u, pk, diag) = (
+                integration.step_donated(
+                    cfg, integrator, first_call, save_pk,
+                    position, velocity, acceleration, potential, u, dyn,
+                    np.float32(dt),
+                )
+            )
         if profile_cm is not None:
             float(jnp.sum(position[:1]))  # barrier inside the trace window
             profile_cm.__exit__(None, None, None)

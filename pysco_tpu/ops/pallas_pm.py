@@ -75,19 +75,24 @@ def padded_cols(npart: int) -> int:
     return _round_up(npart, Q)
 
 
-def _geometry(ncells_1d: int, scheme: str, n_planes: int | None = None):
+def _geometry(ncells_1d: int, scheme: str, n_planes: int | None = None,
+              drift: int = 0):
     """Kernel geometry; ``n_planes`` is the local x extent (= ncells_1d on
-    a single device, the slab height under sharding)."""
+    a single device, the slab height under sharding). ``drift`` widens
+    the tile windows by that many cells on each side so particles that
+    moved since the last tile sort still land in their (stale) tile's
+    window -- the CFL-bounded lazy re-binning mode."""
     if n_planes is None:
         n_planes = ncells_1d
     w = _WIDTH[scheme.casefold()]
-    wy = YB + w - 1
+    wx_eff = w + 2 * drift
+    wy = YB + w - 1 + 2 * drift
     wy_pad = _round_up(wy, 8)  # Mosaic slice shapes must be tile-aligned
-    rows = w * wy_pad
+    rows = wx_eff * wy_pad
     wz_pad = _round_up(ncells_1d, 128)
     nby = ncells_1d // YB
     ntiles = n_planes * nby
-    return w, wy, wy_pad, rows, wz_pad, nby, ntiles
+    return w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles
 
 
 def to_columns(position, velocity, npart: int):
@@ -173,13 +178,23 @@ def sort_particles(position, velocity, ncells_1d: int, scheme: str,
     return pos_s, vel_s, starts
 
 
-def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p):
+def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
+                   plane=None, drift: int = 0):
     """Factored one-hot weights for one particle chunk.
 
-    Returns A (w*wy_pad, P) -- x-slot x local-y one-hot products, valid-
-    masked -- and Wz (wz_pad, P) -- z one-hot with periodic wrap folded
-    into the column index ((z_base + o) mod m). ``valid`` enters A only.
+    Returns A ((w+2*drift)*wy_pad, P) -- x-slot x local-y one-hot
+    products, valid-masked -- and Wz (wz_pad, P) -- z one-hot with
+    periodic wrap folded into the column index ((z_base + o) mod m).
+    ``valid`` enters A only.
+
+    With ``drift > 0`` (lazy re-binning: the tile sort is stale) the x
+    window block and local y row come from the MODULAR offset of the
+    particle's base from its assigned tile, shifted by +drift -- so a
+    particle that moved up to ``drift`` cells since the sort still lands
+    in the widened window; anything farther misses every one-hot and
+    deposits nothing (prevented by the host-side CFL drift bound).
     """
+    wx_eff = w + 2 * drift
     xs = pos_chunk[0:1, :] * F32(m)
     ys = pos_chunk[1:2, :] * F32(m)
     zs = pos_chunk[2:3, :] * F32(m)
@@ -189,17 +204,33 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p):
     wyw = _axis_weights(scheme, ys, by)
     bz = _base_axis(scheme, zs)
     wzw = _axis_weights(scheme, zs, bz)
-    by_wrapped = jnp.where(by < 0, by + m, by)
-    ylocal = by_wrapped - yb * YB  # [0, YB) for this tile's particles
     zl = jnp.where(bz < 0, bz + m, bz)
 
-    # y one-hot (wy_pad, P), then A = Wx (x) Wy reshaped (w*wy_pad, P)
+    if drift == 0:
+        by_wrapped = jnp.where(by < 0, by + m, by)
+        ylocal = by_wrapped - yb * YB  # [0, YB) for this tile's particles
+    else:
+        yl_raw = lax.rem(by - yb * YB + jnp.int32(2 * m), jnp.int32(m))
+        ylocal = jnp.where(yl_raw >= m - drift, yl_raw - m, yl_raw) + drift
+
+    # y one-hot (wy_pad, P)
     yrows = lax.broadcasted_iota(I32, (wy_pad, p), 0)
     wy_oh = jnp.zeros((wy_pad, p), F32)
     for oy in range(w):
         wy_oh = wy_oh + jnp.where(yrows == ylocal + oy, wyw[oy], F32(0))
-    wxs = jnp.concatenate([wx[a] * valid for a in range(w)], axis=0)  # (w, P)
-    a_mat = (wxs[:, None, :] * wy_oh[None, :, :]).reshape(w * wy_pad, p)
+
+    if drift == 0:
+        # fresh sort: every particle's base plane IS the tile plane, so
+        # the x weights fill the window blocks densely
+        wxs = jnp.concatenate([wx[a] * valid for a in range(w)], axis=0)
+    else:
+        dx_raw = lax.rem(bx - plane + jnp.int32(2 * m), jnp.int32(m))
+        dx = jnp.where(dx_raw >= m - drift, dx_raw - m, dx_raw) + drift
+        xrows = lax.broadcasted_iota(I32, (wx_eff, p), 0)
+        wxs = jnp.zeros((wx_eff, p), F32)
+        for a in range(w):
+            wxs = wxs + jnp.where(xrows == dx + a, wx[a] * valid, F32(0))
+    a_mat = (wxs[:, None, :] * wy_oh[None, :, :]).reshape(wx_eff * wy_pad, p)
 
     wz_pad = _round_up(m, 128)
     zrows = lax.broadcasted_iota(I32, (wz_pad, p), 0)
@@ -215,8 +246,10 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p):
 # Deposit
 # ---------------------------------------------------------------------------
 
-def _deposit_kernel(scheme: str, m: int, n_planes: int):
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme, n_planes)
+def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0):
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+        m, scheme, n_planes, drift
+    )
 
     def kernel(starts_ref, pos_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed grid)
@@ -261,7 +294,8 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int):
                         gi = off + lax.broadcasted_iota(I32, (1, Q), 1)
                         valid = ((gi >= start) & (gi < end)).astype(F32)
                         a_mat, wz_mat = _chunk_weights(
-                            scheme, m, w, wy_pad, chunk, yb, valid, Q
+                            scheme, m, w, wy_pad, chunk, yb, valid, Q,
+                            plane, drift,
                         )
                         win[...] = win[...] + lax.dot_general(
                             a_mat, wz_mat, (((1,), (1,)), ((), ())),
@@ -274,17 +308,21 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int):
                     # read-modify-write the tile's window region of the
                     # padded grid (tiles run sequentially: no write races)
                     rd = pltpu.make_async_copy(
-                        out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                        out_ref.at[
+                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad), :
+                        ],
                         region, sem_rd,
                     )
                     rd.start()
                     rd.wait()
                     region[...] = region[...] + win[...].reshape(
-                        w, wy_pad, wz_pad
+                        wx_eff, wy_pad, wz_pad
                     )
                     wr = pltpu.make_async_copy(
                         region,
-                        out_ref.at[pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :],
+                        out_ref.at[
+                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad), :
+                        ],
                         sem_wr,
                     )
                     wr.start()
@@ -298,7 +336,7 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int):
             run,
             pos_buf=pltpu.VMEM((2, 4, Q), F32),
             win=pltpu.VMEM((rows, wz_pad), F32),
-            region=pltpu.VMEM((w, wy_pad, wz_pad), F32),
+            region=pltpu.VMEM((wx_eff, wy_pad, wz_pad), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
             sem_rd=pltpu.SemaphoreType.DMA,
             sem_wr=pltpu.SemaphoreType.DMA,
@@ -307,11 +345,18 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int):
     return kernel
 
 
-def _fold_axis(arr, axis, m):
-    """Fold pad cells beyond index m back onto the start (periodic wrap)."""
+def _fold_axis(arr, axis, m, lead: int = 0):
+    """Fold pad cells periodically: index i of ``arr`` holds grid index
+    (i - lead); the leading ``lead`` cells wrap onto the top, cells
+    beyond lead + m wrap onto the bottom."""
     size = arr.shape[axis]
-    head = lax.slice_in_dim(arr, 0, m, axis=axis)
-    off = m
+    head = lax.slice_in_dim(arr, lead, lead + m, axis=axis)
+    if lead:
+        piece = lax.slice_in_dim(arr, 0, lead, axis=axis)
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(m - lead, m)
+        head = head.at[tuple(idx)].add(piece)
+    off = lead + m
     while off < size:
         hi = min(off + m, size)
         piece = lax.slice_in_dim(arr, off, hi, axis=axis)
@@ -336,7 +381,9 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     if n_planes is None:
         n_planes = m
     scheme = scheme.casefold()
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme, n_planes)
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+        m, scheme, n_planes
+    )
 
     gp_shape = (n_planes + w - 1, m + wy_pad - YB, wz_pad)
     zeros = jnp.zeros(gp_shape, F32)
@@ -355,22 +402,51 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     return _fold_axis(gp, 1, m)[:, :, :m]
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
-            interpret: bool = False) -> jax.Array:
+            interpret: bool = False, drift: int = 0) -> jax.Array:
     """Deposit tile-sorted column particles; returns the (M, M, M) counts
-    grid (single device: the x spill wraps periodically)."""
-    gp = deposit_slab(position_sorted, tile_starts, ncells_1d, scheme,
-                      interpret)
-    return _fold_axis(gp, 0, ncells_1d)
+    grid (single device: the x spill wraps periodically). ``drift``
+    widens the windows for the lazy re-binning mode (stale tile sort)."""
+    m = ncells_1d
+    scheme = scheme.casefold()
+    if drift == 0:
+        gp = deposit_slab(position_sorted, tile_starts, m, scheme,
+                          interpret)
+        return _fold_axis(gp, 0, m)
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+        m, scheme, None, drift
+    )
+    gp_shape = (m + w - 1 + 2 * drift, m + wy_pad - YB, wz_pad)
+    zeros = jnp.zeros(gp_shape, F32)
+    gp = pl.pallas_call(
+        _deposit_kernel(scheme, m, m, drift),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct(gp_shape, F32),
+        input_output_aliases={2: 0},
+        interpret=interpret,
+    )(tile_starts, position_sorted, zeros)
+    # gp x index i holds grid plane (i - drift); y index j grid row
+    # (j - drift)
+    return _fold_axis(
+        _fold_axis(gp, 1, m, lead=drift), 0, m, lead=drift
+    )[:, :, :m]
 
 
 # ---------------------------------------------------------------------------
 # Gather
 # ---------------------------------------------------------------------------
 
-def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme, n_planes)
+def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
+                   drift: int = 0):
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+        m, scheme, n_planes, drift
+    )
 
     def kernel(starts_ref, pos_hbm, fext_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed output)
@@ -389,7 +465,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
                     c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
                     fdma = pltpu.make_async_copy(
                         fext_hbm.at[
-                            :, pl.ds(plane, w), pl.ds(yb * YB, wy_pad), :
+                            :, pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad), :
                         ],
                         fwin,
                         sem_f,
@@ -435,7 +511,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
                         valid = ((gi >= start) & (gi < end)).astype(F32)
                         a_mat, wz_mat = _chunk_weights(
                             scheme, m, w, wy_pad, chunk, yb,
-                            jnp.ones((1, Q), F32), Q
+                            jnp.ones((1, Q), F32), Q, plane, drift,
                         )
                         # one fused MXU dot over all components:
                         # (C*rows, WZ) x (WZ, P) -> (C*rows, P)
@@ -497,7 +573,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int):
             run,
             pos_buf=pltpu.VMEM((2, 4, Q), F32),
             cur_buf=pltpu.VMEM((2, 4, Q), F32),
-            fwin=pltpu.VMEM((ncomp, w, wy_pad, wz_pad), F32),
+            fwin=pltpu.VMEM((ncomp, wx_eff, wy_pad, wz_pad), F32),
             fw_flat=pltpu.VMEM((ncomp * rows, wz_pad), F32),
             out_buf=pltpu.VMEM((2, 4, Q), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
@@ -526,7 +602,7 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
     scheme = scheme.casefold()
     w = _WIDTH[scheme]
     n_planes = field_ext.shape[0] - (w - 1)
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
         m, scheme, n_planes
     )
     npad = position_sorted.shape[1]
@@ -570,27 +646,43 @@ def gather_vec(field, position_sorted, tile_starts, scheme: str,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
-                  interpret: bool = False) -> jax.Array:
+                  interpret: bool = False, drift: int = 0) -> jax.Array:
     """Component-leading variant: field (C, M, M, M) -- skips the
-    full-field transpose copy that (M, M, M, C) input would need."""
+    full-field transpose copy that (M, M, M, C) input would need.
+    ``drift`` widens the windows for the lazy re-binning mode: the
+    extended field gains ``drift`` leading wrap planes/rows in x and y
+    (extended index i holds grid index i - drift)."""
     m = field_cl.shape[1]
     ncomp = field_cl.shape[0]
     scheme = scheme.casefold()
-    w, wy, wy_pad, rows, wz_pad, nby, ntiles = _geometry(m, scheme)
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+        m, scheme, None, drift
+    )
     npad = position_sorted.shape[1]
 
     fc = field_cl
-    if w > 1:
-        fc = jnp.concatenate([fc, fc[:, : w - 1]], axis=1)
-    fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
+    if drift or w > 1:
+        parts = []
+        if drift:
+            parts.append(fc[:, m - drift:])
+        parts.append(fc)
+        if w - 1 + drift:
+            parts.append(fc[:, : w - 1 + drift])
+        fc = jnp.concatenate(parts, axis=1)
+    y_parts = []
+    if drift:
+        y_parts.append(fc[:, :, m - drift:])
+    y_parts.append(fc)
+    y_parts.append(fc[:, :, : wy_pad - YB - drift])
+    fc = jnp.concatenate(y_parts, axis=2)
     if wz_pad > m:
         fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp, m),
+        _gather_kernel(scheme, m, ncomp, m, drift),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),

@@ -460,6 +460,45 @@ def pm_donated(cfg: SolverConfig, first_call: bool, save_pk: bool,
     )
 
 
+def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
+                  position, velocity, tstarts, potential, u,
+                  dyn: DynScalars):
+    """Pallas-engine force evaluation with CFL-bounded lazy re-binning.
+
+    With ``presorted=True`` the tile sort is skipped: particles are
+    processed in their stale bins through drift-widened kernel windows
+    (ops/pallas_pm.py, drift=1), which is exact while every particle has
+    moved less than one cell since the binning -- the caller enforces
+    that with the host-side drift bound (max|v| dt + max|a| dt^2/2 per
+    step, accumulated since the last sort). Returns
+    (position, velocity, tstarts, acceleration, potential, u, pk).
+    """
+    n = cfg.ncells_1d
+    norm = F32(n ** 3 / cfg.npart)
+    from .ops import pallas_pm
+
+    interpret = jax.default_backend() == "cpu"
+    if presorted:
+        drift = 1
+    else:
+        position, velocity, tstarts = pallas_pm.sort_particles(
+            position, velocity, n, cfg.mass_scheme
+        )
+        drift = 0
+    density = pallas_pm.deposit(
+        position, tstarts, n, cfg.mass_scheme, interpret, drift
+    )
+    if n ** 3 != cfg.npart:
+        density = density * norm
+    force, potential, u, pk = _solve_fields(
+        cfg, False, save_pk, density, potential, u, dyn, leading=True
+    )
+    acceleration = pallas_pm.gather_vec_cl(
+        force, position, tstarts, cfg.mass_scheme, interpret, drift
+    )
+    return position, velocity, tstarts, acceleration, potential, u, pk
+
+
 def particles_to_rows(cfg: SolverConfig, *arrays):
     """Convert engine-layout particle arrays to (npart, 3) row-major
     numpy arrays (for snapshot I/O and analysis)."""

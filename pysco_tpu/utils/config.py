@@ -154,6 +154,9 @@ DEFAULTS: Dict[str, Any] = {
     "fR_root_solver": "newton",
     # multigrid cycle type: V | F | W (linear and FAS drivers)
     "multigrid_cycle": "V",
+    # CFL-bounded lazy re-binning (pallas engine): skip the per-step tile
+    # sort while the accumulated drift bound stays under one cell
+    "lazy_sort": True,
     # distribution: single (one chip) | slab (grids+particles sharded over
     # every attached device, parallel/slab.py)
     "parallel_mode": "single",

@@ -94,3 +94,110 @@ def test_sort_payload_and_binning():
     # the sentinel tail survives a periodic wrap (drift step)
     wrapped = mesh.periodic_wrap(pos_s + 0.001)
     assert float(jnp.min(wrapped[:3, n:])) >= pallas_pm.SENTINEL_MIN
+
+
+@pytest.mark.parametrize("scheme", ["cic", "tsc"])
+def test_lazy_rebinning_drifted_particles(scheme):
+    """CFL-bounded lazy re-binning: after sorting, drift every particle by
+    up to ~0.9 cells WITHOUT re-sorting; the drift=1 widened kernels must
+    still deposit/gather exactly (vs the scatter oracle at the drifted
+    positions)."""
+    m = 32
+    n = 3000
+    rng = np.random.default_rng(6)
+    pos = _particles(n, seed=6, clustered=True)
+    pos_s, _, starts = _columns(pos, m, scheme, n)
+    # drift every particle by up to 0.9 cells per axis, with wrap
+    delta = jnp.asarray(
+        (0.9 / m * (2 * rng.random((3, pos_s.shape[1])) - 1)).astype(
+            np.float32
+        )
+    )
+    from pysco_tpu.ops.mesh import periodic_wrap
+
+    drifted = pos_s.at[:3].add(delta)
+    drifted = periodic_wrap(drifted)
+
+    grid = pallas_pm.deposit(drifted, starts, m, scheme, True, drift=1)
+    real = np.array(drifted)[0] < pallas_pm.SENTINEL_MIN
+    ref = mesh.deposit(jnp.asarray(np.array(drifted)[:3, real].T), m, scheme)
+    # sum in float64: a float32 jnp.sum over the grid carries ~1e-2
+    # accumulation noise at this size
+    np.testing.assert_allclose(
+        np.array(grid, dtype=np.float64).sum(), float(n), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.array(grid), np.array(ref), atol=2e-4)
+
+    field = jnp.asarray(rng.random((3, m, m, m)).astype(np.float32))
+    got = np.array(
+        pallas_pm.gather_vec_cl(field, drifted, starts, scheme, True,
+                                drift=1)
+    )[:3].T
+    ref_g = np.array(
+        mesh.gather_vec(jnp.moveaxis(field, 0, -1),
+                        jnp.asarray(np.array(drifted)[:3, real].T), scheme)
+    )
+    np.testing.assert_allclose(got[real], ref_g, atol=1e-4, rtol=1e-3)
+
+
+def test_lazy_step_trajectory_matches_sorted():
+    """integrate.step_lazy with presorted=True (stale bins, widened
+    windows) must track the always-sorted trajectory to float32
+    tolerance over several steps."""
+    import jax
+
+    from pysco_tpu import integrate, solver as solver_mod
+
+    n = 16
+    npart = n ** 3
+    rng = np.random.default_rng(12)
+    pos = jnp.asarray(rng.random((npart, 3), dtype=np.float32))
+    vel = jnp.asarray(
+        (0.3 * rng.standard_normal((npart, 3))).astype(np.float32)
+    )
+    param = {
+        "theory": "newton", "ncoarse": 4, "npart": npart,
+        "mass_scheme": "tsc", "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+        "aexp": 0.1, "Om_m": 0.3, "epsrel": 1e-2,
+        "particle_engine": "pallas",
+    }
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    phi0, u0 = solver_mod.empty_fields(cfg)
+    p0, v0, acc, phi, u, _, _ = solver_mod.pm(
+        cfg, True, False, pos, vel, phi0, u0, dyn
+    )
+    # dt such that per-step drift stays well under a cell (max|v|*dt*n)
+    dt = np.float32(0.5 / (float(jnp.max(jnp.abs(v0))) * n))
+    nsteps = 4
+
+    # reference: always-sorted step
+    state = (p0, v0, acc, phi, u)
+    for _ in range(nsteps):
+        out = integrate.step(cfg, "leapfrog", False, False, *state, dyn, dt)
+        state = out[:5]
+    want_p, want_v = solver_mod.particles_to_rows(cfg, state[0], state[1])
+
+    # lazy: sort on step 0, skip on 1, sort on 2 (cum bound ~0.5+0.5 > 1)
+    ntiles = n * (n // pallas_pm.YB)
+    tstarts = jnp.zeros(ntiles + 1, jnp.int32)
+    lstate = (p0, v0, acc, phi, u, tstarts)
+    cum = np.inf
+    for _ in range(nsteps):
+        presorted = cum + 0.55 <= 0.99
+        out = integrate.step_lazy(
+            cfg, "leapfrog", presorted, False, *lstate, dyn, dt
+        )
+        lstate = out[:6]
+        cum = cum + 0.55 if presorted else 0.0
+    got_p, got_v = solver_mod.particles_to_rows(cfg, lstate[0], lstate[1])
+
+    oi = np.lexsort((got_p[:, 2], got_p[:, 1], got_p[:, 0]))
+    oj = np.lexsort((want_p[:, 2], want_p[:, 1], want_p[:, 0]))
+    np.testing.assert_allclose(got_p[oi], want_p[oj], atol=2e-6)
+    scale = np.abs(want_v).max()
+    np.testing.assert_allclose(
+        got_v[oi], want_v[oj], atol=3e-4 * scale, rtol=3e-3
+    )
