@@ -205,15 +205,17 @@ def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
     return pos, vel, acc_new
 
 
-def bench_lazy(scheme="cic", iters_outer=4):
-    """Lazy re-binning step rates at 256^3: sort skipped every step (the
+def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None):
+    """Lazy re-binning step rates: sort skipped every step (the
     early-epoch regime, drift bound << 1 cell) and sort-every-2nd (the
     realistic late-time cadence at Courant ~0.5)."""
     import jax.numpy as jnp
     from pysco_tpu import integrate, solver as solver_mod
 
+    ncoarse = ncoarse or NCOARSE
+    npart = npart or NPART
     param = {
-        "theory": "newton", "ncoarse": NCOARSE, "npart": NPART,
+        "theory": "newton", "ncoarse": ncoarse, "npart": npart,
         "mass_scheme": scheme, "linear_newton_solver": "fft",
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
         "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
@@ -222,13 +224,13 @@ def bench_lazy(scheme="cic", iters_outer=4):
     }
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
-    pos, vel = _device_state(NPART)
+    pos, vel = _device_state(npart)
     phi, u = solver_mod.empty_fields(cfg)
     pos, vel, acc, phi, u, _, _ = solver_mod.pm_donated(
         cfg, True, False, pos, vel, phi, u, dyn
     )
     _sync(acc)
-    m = 2 ** NCOARSE
+    m = 2 ** ncoarse
     tstarts = jnp.zeros(m * (m // 8) + 1, jnp.int32)
     state = (pos, vel, acc, phi, u, tstarts)
     dt = np.float32(1e-3)
@@ -307,6 +309,12 @@ def main():
         extra["newton_cic_fft_256_lazy_alternating"] = lz["alt"]
     except Exception as e:
         extra["newton_cic_fft_256_lazy_skip"] = f"failed: {type(e).__name__}"
+    try:
+        lz = bench_lazy("cic", iters_outer=2, ncoarse=9, npart=512 ** 3)
+        extra["newton_cic_fft_512_lazy_skip"] = lz["skip"]
+        extra["newton_cic_fft_512_lazy_alternating"] = lz["alt"]
+    except Exception as e:
+        extra["newton_cic_fft_512_lazy_skip"] = f"failed: {type(e).__name__}"
     for label, nc, npart, scheme, theory, solver_name, iters in CONFIGS:
         try:
             sps = bench_config(nc, npart, scheme, theory, solver_name,
