@@ -87,8 +87,8 @@ def step_lazy_impl(cfg: SolverConfig, integrator: str, presorted: bool,
         half_dt = F32(0.5) * dt
         velocity = velocity - acceleration * half_dt
         position = mesh.periodic_wrap(position + velocity * dt)
-        (position, velocity, tstarts, acceleration, potential, u,
-         pk) = solver_mod._pm_lazy_impl(
+        (position, velocity, tstarts, acceleration, potential, u, pk,
+         overflow) = solver_mod._pm_lazy_impl(
             cfg, presorted, save_pk, position, velocity, tstarts,
             potential, u, dyn,
         )
@@ -96,14 +96,14 @@ def step_lazy_impl(cfg: SolverConfig, integrator: str, presorted: bool,
     elif integrator == "euler":
         position = mesh.periodic_wrap(position + velocity * dt)
         velocity = velocity - acceleration * dt
-        (position, velocity, tstarts, acceleration, potential, u,
-         pk) = solver_mod._pm_lazy_impl(
+        (position, velocity, tstarts, acceleration, potential, u, pk,
+         overflow) = solver_mod._pm_lazy_impl(
             cfg, presorted, save_pk, position, velocity, tstarts,
             potential, u, dyn,
         )
     else:
         raise NotImplementedError(integrator)
-    diag = _diagnostics(acceleration, velocity, u, jnp.int32(0))
+    diag = _diagnostics(acceleration, velocity, u, overflow)
     return (position, velocity, acceleration, potential, u, tstarts, pk,
             diag)
 

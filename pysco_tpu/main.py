@@ -36,6 +36,27 @@ def _setup_logging(verbose: int) -> None:
     logging.basicConfig(level=level, format="%(message)s", force=True)
 
 
+def _handle_overflow(param, overflow: int, what: str) -> None:
+    """A nonzero overflow diagnostic means particles were dropped (slab
+    capacity) or silently deposited nothing (violated lazy drift bound):
+    the simulation no longer conserves mass. The reference can never lose
+    a particle, so the default is a hard abort; ``on_particle_overflow =
+    warn`` keeps the old log-and-continue behaviour for debugging."""
+    if not overflow:
+        return
+    msg = f"{what}: {overflow} particles lost this step"
+    policy = str(param.get("on_particle_overflow", "raise")).casefold()
+    if policy == "warn":
+        logging.error("%s -- continuing (on_particle_overflow=warn); "
+                      "results do not conserve mass", msg)
+        return
+    raise RuntimeError(
+        msg + " -- aborting (mass is no longer conserved). Fixes: raise "
+        "slab_slack / lower Courant_factor; or set "
+        "on_particle_overflow=warn to continue anyway."
+    )
+
+
 def _save_pk_mode(param) -> str:
     mode = str(param["save_power_spectrum"]).casefold()
     if mode not in ("no", "z_out", "yes"):
@@ -259,13 +280,12 @@ def run(param) -> None:
         # the diag fetch above synchronises the device, so this is a true
         # per-step wall time (dispatch alone would be async)
         logging.info("step wall time: %.1f ms", 1e3 * (perf_counter() - t_step0))
-        overflow = int(diag.overflow)
-        if overflow:
-            logging.error(
-                "dense particle engine plane-capacity overflow: %d particles "
-                "dropped this step -- rerun with particle_engine='scatter'",
-                overflow,
-            )
+        _handle_overflow(
+            param, int(diag.overflow),
+            "lazy re-binning drift-bound violation (particles outside the "
+            "widened windows)" if lazy
+            else "dense particle engine plane-capacity overflow",
+        )
         if cfg.theory == "fr" and param["nsteps"] % 10 == 0:
             logging.info(
                 "mean(u_scalaron)=%s (should stay close to 1)",
@@ -371,12 +391,8 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         max_abs_vel = float(diag.max_abs_vel)
         logging.info("step wall time: %.1f ms",
                      1e3 * (perf_counter() - t_step0))
-        overflow = int(diag.overflow)
-        if overflow:
-            logging.error(
-                "slab particle capacity overflow: %d particles dropped -- "
-                "raise the slack factor / rebalance", overflow,
-            )
+        _handle_overflow(param, int(diag.overflow),
+                         "slab particle capacity overflow")
         if param["write_snapshot"]:
             pos_np, vel_np = slab.gather_particles(
                 cfg, n_dev, pos_d, vel_d

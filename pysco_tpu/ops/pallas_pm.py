@@ -178,6 +178,37 @@ def sort_particles(position, velocity, ncells_1d: int, scheme: str,
     return pos_s, vel_s, starts
 
 
+def drift_violations(position_sorted, tile_starts, ncells_1d: int,
+                     scheme: str, drift: int) -> jax.Array:
+    """Count particles outside their stale tile's widened window.
+
+    In lazy re-binning mode a particle that moved more than ``drift``
+    cells (in x, or past the y window's padded extent) since the last
+    sort misses every one-hot and silently deposits zero mass / gathers
+    zero force. The host-side CFL bound prevents this; this counter
+    DETECTS a violated bound instead of trusting it. The assigned tile of
+    column i is recovered from ``tile_starts`` (tile t owns columns
+    [starts[t], starts[t+1])). Exact-envelope check mirroring
+    :func:`_chunk_weights`: x offset in [-drift, drift]; y offset in
+    [-drift, wy_pad - w - drift] (rows beyond the nominal window but
+    inside the 8-aligned padding still deposit correctly and fold back).
+    """
+    m = ncells_1d
+    scheme = scheme.casefold()
+    w, _, wy_pad, _, _, nby, ntiles = _geometry(m, scheme, None, drift)
+    idx = jnp.arange(position_sorted.shape[1], dtype=I32)
+    tile = jnp.searchsorted(tile_starts[1:], idx, side="right").astype(I32)
+    plane = tile // nby
+    yb = tile % nby
+    bx = _base_axis(scheme, position_sorted[0] * F32(m)) % m
+    by = _base_axis(scheme, position_sorted[1] * F32(m)) % m
+    dx = (bx - plane + m + drift) % m  # exact iff <= 2*drift
+    dy = (by - yb * YB + m + drift) % m  # exact iff <= wy_pad - w
+    real = (position_sorted[0] < F32(SENTINEL_MIN)) & (tile < ntiles)
+    bad = real & ((dx > 2 * drift) | (dy > wy_pad - w))
+    return jnp.sum(bad.astype(I32))
+
+
 def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
                    plane=None, drift: int = 0):
     """Factored one-hot weights for one particle chunk.

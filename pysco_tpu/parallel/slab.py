@@ -250,8 +250,19 @@ def migrate(pos, vel, m: int, planes_per_shard: int, cap: int, n_dev: int,
     px = _base_axis(scheme, pos[0] * F32(m)) % m
     dest = px // planes_per_shard
     is_real = pos[0] < F32(pallas_pm.SENTINEL_MIN)
+    if n_dev == 1:
+        # dest == r always (one slab owns every plane): nothing can
+        # migrate, and routing through the 2-ppermute path would deliver
+        # each "leaver" twice ((r+1)%1 == (r-1)%1 == r).
+        return pos, vel, jnp.int32(0)
     go_right = is_real & (dest == (r + 1) % n_dev)
-    go_left = is_real & (dest == (r - 1) % n_dev)
+    if n_dev == 2:
+        # both neighbours are the same device ((r+1)%2 == (r-1)%2), so
+        # right/left masks would select the SAME particles and deliver
+        # each one twice. Send every leaver rightward only.
+        go_left = jnp.zeros_like(go_right)
+    else:
+        go_left = is_real & (dest == (r - 1) % n_dev)
     stays = is_real & (dest == r)
     lost = jnp.sum(is_real & ~go_right & ~go_left & ~stays) + (
         jnp.maximum(jnp.sum(go_right) - cap, 0)
@@ -356,7 +367,8 @@ def _linear_solve_slab(cfg: SolverConfig, rhs, phi, dyn, m: int, n_dev: int,
             phi = phi * dyn.potential_scaling
         tolerance = dyn.epsrel * slab_mg.truncation_error_slab(phi, n_dev)
         return slab_mg.linear_slab(
-            phi, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance, n_dev
+            phi, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance, n_dev,
+            cfg.multigrid_cycle,
         )
     rhs_k = rfft3_slab(rhs, n_dev)
     if solver == "fft_7pt":
@@ -401,7 +413,7 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
         tolerance = dyn.epsrel * ops.truncation_error(u, dens_term)
         u = slab_mg.FAS_slab(
             u, dens_term, ops, cfg.ncoarse, cfg.Npre, cfg.Npost,
-            tolerance, n_dev,
+            tolerance, n_dev, cfg.multigrid_cycle,
         )
     elif theory == "mond":
         rhs_newton = f1 * (density - F32(1))
@@ -411,7 +423,7 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
             tolerance = dyn.epsrel * slab_mg.truncation_error_slab(u, n_dev)
             u = slab_mg.linear_slab(
                 u, rhs_newton, cfg.ncoarse, cfg.Npre, cfg.Npost,
-                tolerance, n_dev,
+                tolerance, n_dev, cfg.multigrid_cycle,
             )
         else:  # fft_7pt (reference parity: MOND inner solve is discrete)
             u = irfft3_slab(

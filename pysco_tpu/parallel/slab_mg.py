@@ -135,33 +135,46 @@ def truncation_error_slab(x, n_dev) -> jax.Array:
     return jnp.sqrt(lax.psum(jnp.sum(t * t), AXIS))
 
 
-def V_cycle_slab(x, b, ncoarse: int, Npre: int, Npost: int, n_dev: int,
-                 level: int = 0):
-    """Linear V-cycle on the slab; thin coarse levels continue replicated
-    through models/multigrid.V_cycle (identical maths on every shard)."""
-    x = smoothing_slab(x, b, Npre, n_dev)
-    res_c = restriction_slab(b - operator_slab(x, n_dev))
-    x_c = lap.initialise_potential(res_c)
-    if mg._coarsest(level, ncoarse):
-        x_c = smoothing_slab(x_c, res_c, Npre, n_dev)
-    elif res_c.shape[0] < 4 or res_c.shape[1] <= REPLICATE_BELOW:
-        res_full = _gather_full(res_c)
-        x_full = mg.V_cycle(
-            lap.initialise_potential(res_full), res_full, ncoarse,
-            Npre, Npost, level + 1,
-        )
-        x_c = _local_slice(x_full, n_dev)
-    else:
-        x_c = V_cycle_slab(x_c, res_c, ncoarse, Npre, Npost, n_dev,
-                           level + 1)
-    x = x + prolongation_slab(x_c, n_dev)
+# per-leg recursion kinds: V is one leg; F recurses F then V (with an
+# Npre smooth between legs); W recurses W twice. Matches the leg
+# structure of models/multigrid.py:154-199 (reference multigrid.py:474-858).
+_LEGS = {"V": ("V",), "F": ("F", "V"), "W": ("W", "W")}
+
+
+def cycle_slab(x, b, ncoarse: int, Npre: int, Npost: int, n_dev: int,
+               level: int = 0, kind: str = "V"):
+    """Linear V/F/W cycle on the slab; thin coarse levels continue
+    replicated through models/multigrid (identical maths on every shard)."""
+    mg_cycles = {"V": mg.V_cycle, "F": mg.F_cycle, "W": mg.W_cycle}
+    for sub in _LEGS[kind]:
+        x = smoothing_slab(x, b, Npre, n_dev)
+        res_c = restriction_slab(b - operator_slab(x, n_dev))
+        x_c = lap.initialise_potential(res_c)
+        if mg._coarsest(level, ncoarse):
+            x_c = smoothing_slab(x_c, res_c, Npre, n_dev)
+        elif res_c.shape[0] < 4 or res_c.shape[1] <= REPLICATE_BELOW:
+            res_full = _gather_full(res_c)
+            x_full = mg_cycles[sub](
+                lap.initialise_potential(res_full), res_full, ncoarse,
+                Npre, Npost, level + 1,
+            )
+            x_c = _local_slice(x_full, n_dev)
+        else:
+            x_c = cycle_slab(x_c, res_c, ncoarse, Npre, Npost, n_dev,
+                             level + 1, sub)
+        x = x + prolongation_slab(x_c, n_dev)
     return smoothing_slab(x, b, Npost, n_dev)
 
 
+def V_cycle_slab(x, b, ncoarse: int, Npre: int, Npost: int, n_dev: int,
+                 level: int = 0):
+    return cycle_slab(x, b, ncoarse, Npre, Npost, n_dev, level, "V")
+
+
 def linear_slab(x, b, ncoarse: int, Npre: int, Npost: int, tolerance,
-                n_dev: int):
-    """Sharded multigrid.linear: V-cycles until the psum'd residual norm
-    beats the tolerance or stops improving (multigrid.py:76-82)."""
+                n_dev: int, cycle: str = "V"):
+    """Sharded multigrid.linear: V/F/W cycles until the psum'd residual
+    norm beats the tolerance or stops improving (multigrid.py:76-82)."""
     tolerance = jnp.asarray(tolerance, F32)
 
     def cond(carry):
@@ -170,7 +183,7 @@ def linear_slab(x, b, ncoarse: int, Npre: int, Npost: int, tolerance,
 
     def body(carry):
         x, prev, it, _ = carry
-        x = V_cycle_slab(x, b, ncoarse, Npre, Npost, n_dev)
+        x = cycle_slab(x, b, ncoarse, Npre, Npost, n_dev, 0, cycle)
         err = residual_error_slab(x, b, n_dev)
         done = (err <= tolerance) | (err * F32(2) > prev)
         return (x, err, it + 1, done)
@@ -236,13 +249,31 @@ def _fas_ops_scalaron_slab(q, n_dev: int, n_power: int,
         h2 = 1.0 / (m * m)
         fr = F32(F_RELAX)
         parity = _global_parity(x.shape[0], m)
-        c0_q = F32(h2) * jnp.asarray(q, F32)
-        c0 = c0_q if rhs is None else c0_q - rhs
+        if exact_root:
+            # same f64 closed-form roots as the single-device sweeps
+            # (cubic.py:159-169 / quartic.py:152-163 in this repo)
+            if n_power == 2:
+                d1_q = 27.0 * h2 * jnp.asarray(q, jnp.float64)
+                d1 = d1_q if rhs is None else d1_q - 27.0 * rhs.astype(
+                    jnp.float64)
+            else:
+                q_eff_base = h2 * jnp.asarray(q, jnp.float64)
+                q_eff = (q_eff_base if rhs is None
+                         else q_eff_base - rhs.astype(jnp.float64))
+        else:
+            c0_q = F32(h2) * jnp.asarray(q, F32)
+            c0 = c0_q if rhs is None else c0_q - rhs
 
         def half(i, x):
             mask = parity == (1 - i)
             p = p_term(x, b)
-            x_new = mod._newton_root(x, p, c0)
+            if exact_root:
+                if n_power == 2:
+                    x_new = mod.solution_cubic_equation(p, d1).astype(F32)
+                else:
+                    x_new = mod.solution_quartic_equation(p, q_eff).astype(F32)
+            else:
+                x_new = mod._newton_root(x, p, c0)
             return jnp.where(mask, x + fr * (x_new - x), x)
 
         return half(1, half(0, x))
@@ -291,41 +322,51 @@ def fas_ops_quartic_slab(q, n_dev: int,
     return _fas_ops_scalaron_slab(q, n_dev, 3, exact_root)
 
 
-def V_cycle_FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int,
-                     Npost: int, n_dev: int, level: int = 0,
-                     rhs: Optional[jax.Array] = None):
-    """FAS V-cycle on the slab (tau-correction as multigrid.py:557-566);
-    thin coarse levels continue replicated via models/multigrid."""
-    x = ops.smoothing(x, b, Npre, rhs)
-    res_c = ops.restrict_residual(x, b, rhs)
-    x_c = restriction_slab(x)
-    b_c = restriction_slab(b)
-    if mg._coarsest(level, ncoarse):
+def cycle_FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int,
+                   Npost: int, n_dev: int, level: int = 0,
+                   rhs: Optional[jax.Array] = None, kind: str = "V"):
+    """FAS V/F/W cycle on the slab (tau-correction as
+    multigrid.py:557-566); thin coarse levels continue replicated via
+    models/multigrid. Leg structure identical to :func:`cycle_slab`."""
+    mg_cycles = {"V": mg.V_cycle_FAS, "F": mg.F_cycle_FAS,
+                 "W": mg.W_cycle_FAS}
+    for sub in _LEGS[kind]:
+        x = ops.smoothing(x, b, Npre, rhs)
+        res_c = ops.restrict_residual(x, b, rhs)
+        x_c = restriction_slab(x)
+        b_c = restriction_slab(b)
         res_c = F32(4) * res_c + ops.operator(x_c, b_c)
-        x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
-    elif x_c.shape[0] < 4 or x_c.shape[1] <= REPLICATE_BELOW:
-        res_c = F32(4) * res_c + ops.operator(x_c, b_c)
-        res_full = _gather_full(res_c)
-        x_full = _gather_full(x_c)
-        b_full = _gather_full(b_c)
-        # hand the remaining levels to the replicated FAS cycle; every
-        # shard computes the identical correction
-        x_corr_full = mg.V_cycle_FAS(
-            x_full, b_full, ops.replicated, ncoarse, Npre, Npost,
-            level + 1, res_full,
-        )
-        x_corr_c = _local_slice(x_corr_full, n_dev)
-    else:
-        res_c = F32(4) * res_c + ops.operator(x_c, b_c)
-        x_corr_c = V_cycle_FAS_slab(
-            x_c, b_c, ops, ncoarse, Npre, Npost, n_dev, level + 1, res_c
-        )
-    x = x + prolongation_slab(x_corr_c - x_c, n_dev)
+        if mg._coarsest(level, ncoarse):
+            x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
+        elif x_c.shape[0] < 4 or x_c.shape[1] <= REPLICATE_BELOW:
+            res_full = _gather_full(res_c)
+            x_full = _gather_full(x_c)
+            b_full = _gather_full(b_c)
+            # hand the remaining levels to the replicated FAS cycle;
+            # every shard computes the identical correction
+            x_corr_full = mg_cycles[sub](
+                x_full, b_full, ops.replicated, ncoarse, Npre, Npost,
+                level + 1, res_full,
+            )
+            x_corr_c = _local_slice(x_corr_full, n_dev)
+        else:
+            x_corr_c = cycle_FAS_slab(
+                x_c, b_c, ops, ncoarse, Npre, Npost, n_dev, level + 1,
+                res_c, sub,
+            )
+        x = x + prolongation_slab(x_corr_c - x_c, n_dev)
     return ops.smoothing(x, b, Npost, rhs)
 
 
+def V_cycle_FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int,
+                     Npost: int, n_dev: int, level: int = 0,
+                     rhs: Optional[jax.Array] = None):
+    return cycle_FAS_slab(x, b, ops, ncoarse, Npre, Npost, n_dev, level,
+                          rhs, "V")
+
+
 def FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int, Npost: int,
-             tolerance, n_dev: int):
+             tolerance, n_dev: int, cycle: str = "V"):
     tolerance = jnp.asarray(tolerance, F32)
 
     def cond(carry):
@@ -334,7 +375,8 @@ def FAS_slab(x, b, ops: SlabFASOps, ncoarse: int, Npre: int, Npost: int,
 
     def body(carry):
         x, prev, it, _ = carry
-        x = V_cycle_FAS_slab(x, b, ops, ncoarse, Npre, Npost, n_dev)
+        x = cycle_FAS_slab(x, b, ops, ncoarse, Npre, Npost, n_dev,
+                           kind=cycle)
         err = ops.residual_error(x, b)
         done = (err <= tolerance) | (err * F32(2) > prev)
         return (x, err, it + 1, done)

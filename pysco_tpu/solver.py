@@ -196,6 +196,9 @@ def _linear_solve(cfg: SolverConfig, rhs, potential, dyn, first_call: bool):
             potential = laplacian.initialise_potential(rhs)
         else:
             potential = potential * dyn.potential_scaling
+        # NOTE: recomputed every solve. The reference caches it and only
+        # recomputes every 3rd step (multigrid.py:62-68); always-fresh is
+        # tighter (never stale), costs one extra stencil+restriction pass.
         tolerance = dyn.epsrel * laplacian.truncation_error(potential)
         return multigrid.linear(
             potential, rhs, cfg.ncoarse, cfg.Npre, cfg.Npost, tolerance,
@@ -470,8 +473,11 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
     (ops/pallas_pm.py, drift=1), which is exact while every particle has
     moved less than one cell since the binning -- the caller enforces
     that with the host-side drift bound (max|v| dt + max|a| dt^2/2 per
-    step, accumulated since the last sort). Returns
-    (position, velocity, tstarts, acceleration, potential, u, pk).
+    step, accumulated since the last sort), and a device-side violation
+    counter (returned as ``overflow``) detects a broken bound instead of
+    silently corrupting mass. Returns
+    (position, velocity, tstarts, acceleration, potential, u, pk,
+    overflow).
     """
     n = cfg.ncells_1d
     norm = F32(n ** 3 / cfg.npart)
@@ -480,11 +486,15 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
     interpret = jax.default_backend() == "cpu"
     if presorted:
         drift = 1
+        overflow = pallas_pm.drift_violations(
+            position, tstarts, n, cfg.mass_scheme, drift
+        )
     else:
         position, velocity, tstarts = pallas_pm.sort_particles(
             position, velocity, n, cfg.mass_scheme
         )
         drift = 0
+        overflow = jnp.int32(0)
     density = pallas_pm.deposit(
         position, tstarts, n, cfg.mass_scheme, interpret, drift
     )
@@ -496,7 +506,8 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
     acceleration = pallas_pm.gather_vec_cl(
         force, position, tstarts, cfg.mass_scheme, interpret, drift
     )
-    return position, velocity, tstarts, acceleration, potential, u, pk
+    return (position, velocity, tstarts, acceleration, potential, u, pk,
+            overflow)
 
 
 def particles_to_rows(cfg: SolverConfig, *arrays):
@@ -504,10 +515,16 @@ def particles_to_rows(cfg: SolverConfig, *arrays):
     numpy arrays (for snapshot I/O and analysis)."""
     import numpy as np
 
+    from .ops import pallas_pm
+
+    n_up = pallas_pm.padded_cols(cfg.npart)
     out = []
     for a in arrays:
         a = np.asarray(a)
-        if a.ndim == 2 and a.shape[0] in (3, 4):  # column layout (4, N_up)
+        # Column layout is exactly (3|4, padded_cols(npart)); matching on
+        # shape[0] alone would mis-transpose legitimate (npart, 3) rows
+        # when npart is 3 or 4 (padded_cols >= 512 can never equal 3).
+        if a.ndim == 2 and a.shape[0] in (3, 4) and a.shape[1] == n_up:
             a = a[:3, : cfg.npart].T
         else:
             a = a[: cfg.npart]

@@ -201,3 +201,32 @@ def test_lazy_step_trajectory_matches_sorted():
     np.testing.assert_allclose(
         got_v[oi], want_v[oj], atol=3e-4 * scale, rtol=3e-3
     )
+
+
+def test_drift_violations_counter():
+    """Device-side detection of a violated lazy drift bound: particles
+    whose base cell moved beyond the widened window must be counted (they
+    silently deposit nothing), in-bound drifts must not."""
+    m = 32
+    n = 2048
+    pos = _particles(n, seed=21)
+    pos_s, _, starts = _columns(pos, m, "cic", n)
+
+    # within the bound: drift every particle by < 1 cell
+    drifted = mesh.periodic_wrap(pos_s.at[:3].add(jnp.float32(0.8 / m)))
+    assert int(pallas_pm.drift_violations(drifted, starts, m, "cic", 1)) == 0
+
+    # violate the bound for exactly 3 particles (move x by 3 cells)
+    bad = np.array(drifted)
+    bad[0, :3] = (bad[0, :3] + 3.0 / m) % 1.0
+    count = int(pallas_pm.drift_violations(
+        jnp.asarray(bad), starts, m, "cic", 1
+    ))
+    assert count == 3
+
+    # and the violating particles really do vanish from the deposit
+    grid = pallas_pm.deposit(jnp.asarray(bad), starts, m, "cic", True,
+                             drift=1)
+    np.testing.assert_allclose(
+        np.array(grid, dtype=np.float64).sum(), float(n - count), rtol=1e-6
+    )
