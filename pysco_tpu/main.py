@@ -108,8 +108,20 @@ def run(param) -> None:
     if "nsteps" not in param:
         param["nsteps"] = 0
 
+    parallel_mode = str(param.get("parallel_mode", "single")).casefold()
+
     logging.warning("----- Initial conditions -----")
-    position, velocity = ic.generate(param, tables)
+    from . import ic_device
+
+    device_ic = parallel_mode == "single" and ic_device.supported(param)
+    if device_ic:
+        # LPT algebra on the TPU (only the reference-exact RNG draw stays
+        # on the host); yields the column state directly
+        position, velocity = ic_device.generate_lpt(param, tables)
+    else:
+        # note: a restart restores parameters from the snapshot attrs, so
+        # cfg must only be built after this call
+        position, velocity = ic.generate(param, tables)
     param["t"] = float(tables[1](np.log(param["aexp"])))
     param["aexp_old"] = param["aexp"]
     logging.warning("aexp=%s t=%s", param["aexp"], param["t"])
@@ -118,7 +130,6 @@ def run(param) -> None:
     integrator = str(param["integrator"]).casefold()
     pk_mode = _save_pk_mode(param)
 
-    parallel_mode = str(param.get("parallel_mode", "single")).casefold()
     if parallel_mode == "slab":
         return _run_slab(
             param, tables, cfg, integrator, pk_mode, position, velocity,
@@ -131,7 +142,7 @@ def run(param) -> None:
 
     # Device state. For the pallas engine, build the (4, N_up) column
     # layout on the host so HBM never holds both layouts at once.
-    if cfg.particle_engine == "pallas":
+    if cfg.particle_engine == "pallas" and not device_ic:
         from .ops import pallas_pm
 
         position, velocity = pallas_pm.to_columns_host(
@@ -326,12 +337,12 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     state = slab.distribute_particles(mesh, cfg, position, velocity, slack)
     step_fns = {}
 
-    def step_fn(save_pk, first_call=False):
-        key = (save_pk, first_call)
+    def step_fn(save_pk, first_call=False, presorted=False):
+        key = (save_pk, first_call, presorted)
         if key not in step_fns:
             step_fns[key] = slab.make_slab_step(
                 cfg, mesh, integrator, save_pk=save_pk,
-                first_call=first_call,
+                first_call=first_call, presorted=presorted,
             )
         return step_fns[key]
 
@@ -339,11 +350,21 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     save_pk_first = pk_mode == "yes"
     # first force evaluation: a zero-dt step (kick with acc = 0 and zero
     # drift reduce to deposit -> solve -> gather)
-    pos_d, vel_d, acc_d, phi_d, u_d, pk, diag = step_fn(
+    pos_d, vel_d, acc_d, phi_d, u_d, ts_d, pk, diag = step_fn(
         save_pk_first, first_call=True
     )(*state, dyn, np.float32(0))
     if save_pk_first:
         _write_pk(pk, param)
+
+    # CFL-bounded lazy re-binning (same bound as the single-chip loop):
+    # migration + tile sort are skipped while the accumulated drift since
+    # the last sort stays under one cell; drift-widened kernels with
+    # both-way spill/halo exchange keep the step exact across slabs.
+    lazy = bool(param.get("lazy_sort", True))
+    w = slab._WIDTH[cfg.mass_scheme]
+    if cfg.ncells_1d // n_dev < w:  # drift-widened window needs w planes
+        lazy = False
+    cum_drift = np.inf  # first loop step sorts
 
     aexp_out = np.sort(1.0 / (np.array(z_out, dtype=np.float64) + 1))
     t_out = np.array([float(tables[1](np.log(a))) for a in aexp_out])
@@ -382,17 +403,30 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
             pk_mode == "z_out" and param["write_snapshot"]
         )
         t_step0 = perf_counter()
-        pos_d, vel_d, acc_d, phi_d, u_d, pk, diag = step_fn(save_pk)(
-            pos_d, vel_d, acc_d, phi_d, u_d, dyn, np.float32(dt)
-        )
+        step_bound = (
+            max_abs_vel * dt + 0.5 * max_abs_acc * dt * dt
+        ) * cfg.ncells_1d
+        presorted = lazy and (cum_drift + step_bound) <= 0.99
+        pos_d, vel_d, acc_d, phi_d, u_d, ts_d, pk, diag = step_fn(
+            save_pk, presorted=presorted
+        )(pos_d, vel_d, acc_d, phi_d, u_d, ts_d, dyn, np.float32(dt))
+        if presorted:
+            cum_drift += step_bound
+            logging.info("lazy re-binning: slab sort skipped "
+                         "(drift bound %.3f cells)", cum_drift)
+        else:
+            cum_drift = 0.0
         if save_pk:
             _write_pk(pk, param)
         max_abs_acc = float(diag.max_abs_acc)
         max_abs_vel = float(diag.max_abs_vel)
         logging.info("step wall time: %.1f ms",
                      1e3 * (perf_counter() - t_step0))
-        _handle_overflow(param, int(diag.overflow),
-                         "slab particle capacity overflow")
+        _handle_overflow(
+            param, int(diag.overflow),
+            "slab lazy re-binning drift-bound violation" if presorted
+            else "slab particle capacity overflow",
+        )
         if param["write_snapshot"]:
             pos_np, vel_np = slab.gather_particles(
                 cfg, n_dev, pos_d, vel_d

@@ -179,7 +179,8 @@ def sort_particles(position, velocity, ncells_1d: int, scheme: str,
 
 
 def drift_violations(position_sorted, tile_starts, ncells_1d: int,
-                     scheme: str, drift: int) -> jax.Array:
+                     scheme: str, drift: int, plane0=0,
+                     n_planes: int | None = None) -> jax.Array:
     """Count particles outside their stale tile's widened window.
 
     In lazy re-binning mode a particle that moved more than ``drift``
@@ -195,10 +196,10 @@ def drift_violations(position_sorted, tile_starts, ncells_1d: int,
     """
     m = ncells_1d
     scheme = scheme.casefold()
-    w, _, wy_pad, _, _, nby, ntiles = _geometry(m, scheme, None, drift)
+    w, _, wy_pad, _, _, nby, ntiles = _geometry(m, scheme, n_planes, drift)
     idx = jnp.arange(position_sorted.shape[1], dtype=I32)
     tile = jnp.searchsorted(tile_starts[1:], idx, side="right").astype(I32)
-    plane = tile // nby
+    plane = tile // nby + jnp.asarray(plane0, I32)
     yb = tile % nby
     bx = _base_axis(scheme, position_sorted[0] * F32(m)) % m
     by = _base_axis(scheme, position_sorted[1] * F32(m)) % m
@@ -229,6 +230,9 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
     xs = pos_chunk[0:1, :] * F32(m)
     ys = pos_chunk[1:2, :] * F32(m)
     zs = pos_chunk[2:3, :] * F32(m)
+    # sentinel columns must never alias into a window (with drift > 0 the
+    # modular offset of x = 2.0 can land in range for some planes)
+    valid = valid * (xs < F32(SENTINEL_MIN * m)).astype(F32)
     bx = _base_axis(scheme, xs)
     wx = _axis_weights(scheme, xs, bx)
     by = _base_axis(scheme, ys)
@@ -282,7 +286,7 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0):
         m, scheme, n_planes, drift
     )
 
-    def kernel(starts_ref, pos_hbm, zeros_hbm, out_ref):
+    def kernel(starts_ref, plane0_ref, pos_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed grid)
 
         def run(pos_buf, win, region, sem_in, sem_rd, sem_wr):
@@ -291,6 +295,9 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0):
                 end = starts_ref[t + 1]
                 yb = lax.rem(t, jnp.int32(nby))
                 plane = lax.div(t, jnp.int32(nby))
+                # global grid plane of this tile (slab offset; the widened
+                # drift windows compare against global base cells)
+                gplane = plane + plane0_ref[0]
                 c0 = lax.div(start, jnp.int32(Q))
                 c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
 
@@ -326,7 +333,7 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0):
                         valid = ((gi >= start) & (gi < end)).astype(F32)
                         a_mat, wz_mat = _chunk_weights(
                             scheme, m, w, wy_pad, chunk, yb, valid, Q,
-                            plane, drift,
+                            gplane, drift,
                         )
                         win[...] = win[...] + lax.dot_general(
                             a_mat, wz_mat, (((1,), (1,)), ((), ())),
@@ -399,38 +406,46 @@ def _fold_axis(arr, axis, m, lead: int = 0):
 
 
 def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
-                 interpret: bool = False,
-                 n_planes: int | None = None) -> jax.Array:
+                 interpret: bool = False, n_planes: int | None = None,
+                 drift: int = 0, plane0=None) -> jax.Array:
     """Deposit tile-sorted column particles onto the local x-slab.
 
-    Returns the y-folded, z-trimmed padded slab (n_planes + w - 1, M, M):
-    the trailing w-1 x-planes are the rightward window spill the caller
-    must add to the next slab (periodic wrap on a single device --
-    :func:`deposit` does that fold).
+    Returns the y-folded, z-trimmed padded slab
+    (n_planes + w - 1 + 2*drift, M, M) whose x index i holds grid plane
+    (plane0 + i - drift): the leading ``drift`` planes spill onto the
+    left neighbour and the trailing w - 1 + drift planes onto the right
+    (periodic wrap on a single device -- :func:`deposit` does that fold).
+    ``drift`` widens the windows for lazy re-binning (stale tile sort);
+    ``plane0`` is this shard's first global plane (device scalar).
     """
     m = ncells_1d
     if n_planes is None:
         n_planes = m
     scheme = scheme.casefold()
     w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
-        m, scheme, n_planes
+        m, scheme, n_planes, drift
     )
+    if plane0 is None:
+        plane0 = jnp.zeros((1,), I32)
+    else:
+        plane0 = jnp.asarray(plane0, I32).reshape(1)
 
-    gp_shape = (n_planes + w - 1, m + wy_pad - YB, wz_pad)
+    gp_shape = (n_planes + w - 1 + 2 * drift, m + wy_pad - YB, wz_pad)
     zeros = jnp.zeros(gp_shape, F32)
     gp = pl.pallas_call(
-        _deposit_kernel(scheme, m, n_planes),
+        _deposit_kernel(scheme, m, n_planes, drift),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(gp_shape, F32),
-        input_output_aliases={2: 0},
+        input_output_aliases={3: 0},
         interpret=interpret,
-    )(tile_starts, position_sorted, zeros)
-    return _fold_axis(gp, 1, m)[:, :, :m]
+    )(tile_starts, plane0, position_sorted, zeros)
+    return _fold_axis(gp, 1, m, lead=drift)[:, :, :m]
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
@@ -441,32 +456,10 @@ def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     widens the windows for the lazy re-binning mode (stale tile sort)."""
     m = ncells_1d
     scheme = scheme.casefold()
-    if drift == 0:
-        gp = deposit_slab(position_sorted, tile_starts, m, scheme,
-                          interpret)
-        return _fold_axis(gp, 0, m)
-    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
-        m, scheme, None, drift
-    )
-    gp_shape = (m + w - 1 + 2 * drift, m + wy_pad - YB, wz_pad)
-    zeros = jnp.zeros(gp_shape, F32)
-    gp = pl.pallas_call(
-        _deposit_kernel(scheme, m, m, drift),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        out_shape=jax.ShapeDtypeStruct(gp_shape, F32),
-        input_output_aliases={2: 0},
-        interpret=interpret,
-    )(tile_starts, position_sorted, zeros)
-    # gp x index i holds grid plane (i - drift); y index j grid row
-    # (j - drift)
-    return _fold_axis(
-        _fold_axis(gp, 1, m, lead=drift), 0, m, lead=drift
-    )[:, :, :m]
+    gp = deposit_slab(position_sorted, tile_starts, m, scheme, interpret,
+                      drift=drift)
+    # gp x index i holds grid plane (i - drift)
+    return _fold_axis(gp, 0, m, lead=drift)
 
 
 # ---------------------------------------------------------------------------
@@ -479,7 +472,8 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
         m, scheme, n_planes, drift
     )
 
-    def kernel(starts_ref, pos_hbm, fext_hbm, zeros_hbm, out_ref):
+    def kernel(starts_ref, plane0_ref, pos_hbm, fext_hbm, zeros_hbm,
+               out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed output)
 
         def run(pos_buf, cur_buf, fwin, fw_flat, out_buf, sem_in, sem_cur,
@@ -492,6 +486,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                 def _():
                     yb = lax.rem(t, jnp.int32(nby))
                     plane = lax.div(t, jnp.int32(nby))
+                    gplane = plane + plane0_ref[0]
                     c0 = lax.div(start, jnp.int32(Q))
                     c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
                     fdma = pltpu.make_async_copy(
@@ -542,7 +537,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                         valid = ((gi >= start) & (gi < end)).astype(F32)
                         a_mat, wz_mat = _chunk_weights(
                             scheme, m, w, wy_pad, chunk, yb,
-                            jnp.ones((1, Q), F32), Q, plane, drift,
+                            jnp.ones((1, Q), F32), Q, gplane, drift,
                         )
                         # one fused MXU dot over all components:
                         # (C*rows, WZ) x (WZ, P) -> (C*rows, P)
@@ -617,39 +612,51 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
 
 
 def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False, drift: int = 0,
+                    plane0=None) -> jax.Array:
     """Interpolate a pre-extended local slab field at tile-sorted column
     particles.
 
-    ``field_ext`` is (n_planes + w - 1, M, M, C): the local slab planes
-    plus the w-1 rightward halo planes (wrapped on a single device,
-    fetched from the right neighbour under sharding). Returns (4, N_up)
-    values (rows 0..C-1 are the components, the rest zero padding)
-    aligned with the sorted columns; tail/never-touched chunks come back
-    zero (the output aliases a zeros buffer).
+    ``field_ext`` is (n_planes + w - 1 + 2*drift, M, M, C): the local
+    slab planes plus ``drift`` left and w - 1 + drift right halo planes
+    (extended index i holds grid plane plane0 + i - drift; wrapped on a
+    single device, fetched from the neighbours under sharding). Returns
+    (4, N_up) values (rows 0..C-1 are the components, the rest zero
+    padding) aligned with the sorted columns; tail/never-touched chunks
+    come back zero (the output aliases a zeros buffer).
     """
     m = field_ext.shape[1]
     ncomp = field_ext.shape[-1]
     scheme = scheme.casefold()
     w = _WIDTH[scheme]
-    n_planes = field_ext.shape[0] - (w - 1)
+    n_planes = field_ext.shape[0] - (w - 1 + 2 * drift)
     w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
-        m, scheme, n_planes
+        m, scheme, n_planes, drift
     )
     npad = position_sorted.shape[1]
+    if plane0 is None:
+        plane0 = jnp.zeros((1,), I32)
+    else:
+        plane0 = jnp.asarray(plane0, I32).reshape(1)
 
     # component-leading extended field: x slot a of local plane p reads
-    # extended plane p + a; y rows yb*YB..+wy_pad-1; z cells 0..m-1 (the
-    # z wrap lives in the one-hot, so no z halo)
-    fc = jnp.moveaxis(field_ext, -1, 0)  # (C, n_planes + w - 1, M, M)
-    fc = jnp.concatenate([fc, fc[:, :, : wy_pad - YB]], axis=2)
+    # extended plane p + a; y rows yb*YB-drift..+wy_pad-1; z cells 0..m-1
+    # (the z wrap lives in the one-hot, so no z halo)
+    fc = jnp.moveaxis(field_ext, -1, 0)
+    y_parts = []
+    if drift:
+        y_parts.append(fc[:, :, m - drift:])
+    y_parts.append(fc)
+    y_parts.append(fc[:, :, : wy_pad - YB - drift])
+    fc = jnp.concatenate(y_parts, axis=2)
     if wz_pad > m:
         fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp, n_planes),
+        _gather_kernel(scheme, m, ncomp, n_planes, drift),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -657,9 +664,9 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((4, npad), F32),
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         interpret=interpret,
-    )(tile_starts, position_sorted, fc, zeros)
+    )(tile_starts, plane0, position_sorted, fc, zeros)
     return out
 
 
@@ -716,13 +723,14 @@ def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
         _gather_kernel(scheme, m, ncomp, m, drift),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct((4, npad), F32),
-        input_output_aliases={3: 0},
+        input_output_aliases={4: 0},
         interpret=interpret,
-    )(tile_starts, position_sorted, fc, zeros)
+    )(tile_starts, jnp.zeros((1,), I32), position_sorted, fc, zeros)
     return out

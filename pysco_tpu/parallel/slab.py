@@ -175,21 +175,45 @@ def exchange_halo_x(f_local: jax.Array, h: int, n_dev: int) -> jax.Array:
 
 def halo_right(f_local: jax.Array, h: int, n_dev: int) -> jax.Array:
     """(P, ...) -> (P + h, ...): h planes fetched from the right neighbour."""
-    from_right = lax.ppermute(f_local[:h], AXIS, _perm_bwd(n_dev))
-    return jnp.concatenate([f_local, from_right], axis=0)
+    return halo_lr(f_local, 0, h, n_dev)
+
+
+def halo_lr(f_local: jax.Array, h_l: int, h_r: int, n_dev: int) -> jax.Array:
+    """(P, ...) -> (h_l + P + h_r, ...): asymmetric halo fetch (the lazy
+    drift windows need ``drift`` wrapped planes on the left and
+    w - 1 + drift on the right)."""
+    parts = []
+    if h_l:
+        parts.append(lax.ppermute(f_local[-h_l:], AXIS, _perm_fwd(n_dev)))
+    parts.append(f_local)
+    if h_r:
+        parts.append(lax.ppermute(f_local[:h_r], AXIS, _perm_bwd(n_dev)))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else f_local
+
+
+def add_spill(gp: jax.Array, n_planes: int, n_dev: int,
+              lead: int = 0) -> jax.Array:
+    """Fold a deposit slab's spill planes onto the neighbouring shards.
+
+    ``gp`` is (lead + n_planes + s, M, M) with x index i holding grid
+    plane (plane0 + i - lead): the leading ``lead`` planes belong to the
+    left neighbour's last planes (lazy drift windows), the trailing s to
+    the right neighbour's first planes. With n_dev == 1 the ppermutes
+    are identities, i.e. the single-device periodic fold.
+    """
+    body = gp[lead:lead + n_planes]
+    s = gp.shape[0] - n_planes - lead
+    if s:
+        spill_r = lax.ppermute(gp[lead + n_planes:], AXIS, _perm_fwd(n_dev))
+        body = body.at[:s].add(spill_r)
+    if lead:
+        spill_l = lax.ppermute(gp[:lead], AXIS, _perm_bwd(n_dev))
+        body = body.at[n_planes - lead:].add(spill_l)
+    return body
 
 
 def add_spill_right(gp: jax.Array, n_planes: int, n_dev: int) -> jax.Array:
-    """Fold a deposit slab's rightward spill planes onto the next shard.
-
-    ``gp`` is (n_planes + s, M, M); the trailing s planes belong to the
-    right neighbour's first s planes.
-    """
-    s = gp.shape[0] - n_planes
-    if s == 0:
-        return gp
-    spill = lax.ppermute(gp[n_planes:], AXIS, _perm_fwd(n_dev))
-    return gp[:n_planes].at[:s].add(spill)
+    return add_spill(gp, n_planes, n_dev, 0)
 
 
 def derivative_slab(phi_local: jax.Array, order: int, n_dev: int) -> jax.Array:
@@ -463,48 +487,61 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
 
 
 def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
-                   save_pk: bool = False, first_call: bool = False):
+                   save_pk: bool = False, first_call: bool = False,
+                   presorted: bool = False):
     """Build the jitted slab-sharded KDK step.
 
     State per shard: pos/vel column arrays (4, C) with sentinel empties,
     acceleration (4, C), potential slab (M/D, M, M), additional-field
-    slab (f(R) scalaron / MOND Newtonian potential; token otherwise).
-    Returns ``fn(pos, vel, acc, phi, u, dyn, dt) ->
-    (pos, vel, acc, phi, u, pk, diag)``. All four theories; fft / fft_7pt
-    pencil solves or the slab-sharded multigrid (parallel/slab_mg.py).
-    ``first_call=True`` builds the variant that (re)initialises the
-    potential/scalaron from scratch -- use it for the initial force
-    evaluation (a zero-dt step).
+    slab (f(R) scalaron / MOND Newtonian potential; token otherwise),
+    and the local tile starts. Returns
+    ``fn(pos, vel, acc, phi, u, tstarts, dyn, dt) ->
+    (pos, vel, acc, phi, u, tstarts, pk, diag)``. All four theories;
+    fft / fft_7pt pencil solves or the slab-sharded multigrid
+    (parallel/slab_mg.py). ``first_call=True`` builds the variant that
+    (re)initialises the potential/scalaron from scratch -- use it for
+    the initial force evaluation (a zero-dt step).
+
+    ``presorted=True`` is the slab analogue of the single-chip lazy
+    re-binning step: migration AND the tile sort are skipped; particles
+    are processed in their stale bins through drift-widened kernels, the
+    deposit spills up to ``drift`` planes onto BOTH neighbours and the
+    gather fetches the matching asymmetric halo, so a <= 1-cell-stale
+    binning (the caller's CFL drift bound) stays exact even across slab
+    boundaries. A device-side violation counter feeds ``overflow``.
     """
     n_dev = mesh.devices.size
     m = cfg.ncells_1d
     planes = m // n_dev
-    if planes * n_dev != m or planes < _WIDTH[cfg.mass_scheme] - 1:
+    drift = 1 if presorted else 0
+    w = _WIDTH[cfg.mass_scheme]
+    if planes * n_dev != m or planes < w - 1 + drift:
         raise ValueError(
             f"ncells_1d={m} must be divisible by n_devices={n_dev} with "
-            "slabs at least as tall as the deposit window"
+            "slabs at least as tall as the (drift-widened) deposit window"
         )
     cap_mig = migration_capacity(cfg.npart, m, n_dev)
     norm = F32(m ** 3 / cfg.npart)
-    w = _WIDTH[cfg.mass_scheme]
     interpret = jax.default_backend() == "cpu"
 
     dyn_specs = jax.tree.map(lambda _: P(), DynScalars(*[0.0] * 10))
     pspec = P(None, AXIS)  # particle columns sharded
     fspec = P(AXIS)  # fields x-slab sharded
+    tspec = P(AXIS)  # per-shard tile starts
 
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(pspec, pspec, pspec, fspec, fspec, dyn_specs, P()),
+        in_specs=(pspec, pspec, pspec, fspec, fspec, tspec, dyn_specs, P()),
         out_specs=(
-            pspec, pspec, pspec, fspec, fspec,
+            pspec, pspec, pspec, fspec, fspec, tspec,
             (P(), P(), P()) if save_pk else P(),
             StepDiagnostics(P(), P(), P(), P()),
         ),
         check_vma=False,
     )
-    def step_shard(position, velocity, acceleration, phi, u, dyn, dt):
+    def step_shard(position, velocity, acceleration, phi, u, tstarts,
+                   dyn, dt):
         r = lax.axis_index(AXIS)
         plane0 = (r * planes).astype(I32)
         dt = F32(dt)
@@ -521,31 +558,43 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
         else:
             raise NotImplementedError(integrator)
 
-        # migration + local tile sort (arrivals ride along; sentinels and
-        # any foreign stragglers sort past the end and are truncated)
-        position, velocity, lost = migrate(
-            position, velocity, m, planes, cap_mig, n_dev, cfg.mass_scheme
-        )
-        position, velocity, tstarts = pallas_pm.sort_particles(
-            position, velocity, m, cfg.mass_scheme, plane0, planes
-        )
-        n_real = tstarts[-1]
-        overflow = lost + jnp.maximum(n_real - cap, 0)
-        position = position[:, :cap]
-        velocity = velocity[:, :cap]
+        if presorted:
+            # stale bins stay; detect any particle outside the widened
+            # windows (a violated CFL drift bound) instead of trusting it
+            overflow = pallas_pm.drift_violations(
+                position, tstarts, m, cfg.mass_scheme, drift, plane0,
+                planes,
+            )
+        else:
+            # migration + local tile sort (arrivals ride along; sentinels
+            # and foreign stragglers sort past the end and are truncated)
+            position, velocity, lost = migrate(
+                position, velocity, m, planes, cap_mig, n_dev,
+                cfg.mass_scheme,
+            )
+            position, velocity, tstarts = pallas_pm.sort_particles(
+                position, velocity, m, cfg.mass_scheme, plane0, planes
+            )
+            n_real = tstarts[-1]
+            overflow = lost + jnp.maximum(n_real - cap, 0)
+            position = position[:, :cap]
+            velocity = velocity[:, :cap]
 
         gp = pallas_pm.deposit_slab(
-            position, tstarts, m, cfg.mass_scheme, interpret, planes
+            position, tstarts, m, cfg.mass_scheme, interpret, planes,
+            drift, plane0,
         )
-        density = add_spill_right(gp, planes, n_dev) * norm
+        density = add_spill(gp, planes, n_dev, lead=drift) * norm
 
         force, phi, u, pk = _solve_slab(
             cfg, density, phi, u, dyn, m, n_dev, save_pk, first_call
         )
 
-        f_ext = halo_right(force, w - 1, n_dev) if w > 1 else force
+        h_l, h_r = drift, w - 1 + drift
+        f_ext = halo_lr(force, h_l, h_r, n_dev) if (h_l or h_r) else force
         acceleration = pallas_pm.gather_vec_slab(
-            f_ext, position, tstarts, cfg.mass_scheme, interpret
+            f_ext, position, tstarts, cfg.mass_scheme, interpret, drift,
+            plane0,
         )
 
         if integrator == "leapfrog":
@@ -559,7 +608,7 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
         )
         if not save_pk:
             pk = F32(0)
-        return position, velocity, acceleration, phi, u, pk, diag
+        return position, velocity, acceleration, phi, u, tstarts, pk, diag
 
     return jax.jit(step_shard)
 
@@ -611,7 +660,13 @@ def distribute_particles(mesh: Mesh, cfg: SolverConfig, position, velocity,
         u_dev = jax.device_put(
             jnp.zeros((n_dev, 1, 1), jnp.float32), shard_f
         )
-    return pos_dev, vel_dev, acc_dev, phi_dev, u_dev
+    # per-shard tile starts (filled by the first sorted step)
+    nt_local = planes * (m // pallas_pm.YB) + 1
+    ts_dev = jax.device_put(
+        jnp.zeros((n_dev * nt_local,), jnp.int32),
+        NamedSharding(mesh, P(AXIS)),
+    )
+    return pos_dev, vel_dev, acc_dev, phi_dev, u_dev, ts_dev
 
 
 def gather_particles(cfg: SolverConfig, n_dev: int, position, velocity=None):

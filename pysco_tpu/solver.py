@@ -517,14 +517,37 @@ def particles_to_rows(cfg: SolverConfig, *arrays):
 
     from .ops import pallas_pm
 
+    # Per-fetch cap: the axon tunnel rejects single device->host copies
+    # in the GB range (UNIMPLEMENTED) -- a (4, 512^3) column state is
+    # 2.1 GB. 2^23 columns ~ 128 MB per fetch.
+    chunk = 8 * 1024 * 1024
     n_up = pallas_pm.padded_cols(cfg.npart)
     out = []
     for a in arrays:
-        a = np.asarray(a)
         # Column layout is exactly (3|4, padded_cols(npart)); matching on
         # shape[0] alone would mis-transpose legitimate (npart, 3) rows
         # when npart is 3 or 4 (padded_cols >= 512 can never equal 3).
-        if a.ndim == 2 and a.shape[0] in (3, 4) and a.shape[1] == n_up:
+        is_cols = a.ndim == 2 and a.shape[0] in (3, 4) and a.shape[1] == n_up
+        if isinstance(a, jax.Array) and max(a.shape) > chunk:
+            # value-fetch barrier: on the axon backend a device->host copy
+            # of an array whose producer is still in flight fails with
+            # UNIMPLEMENTED (block_until_ready is a no-op there)
+            float(jnp.sum(a[:1, :1] if a.ndim == 2 else a[:1]))
+            if is_cols:
+                rows = np.empty((cfg.npart, 3), np.float32)
+                for i in range(0, cfg.npart, chunk):
+                    j = min(i + chunk, cfg.npart)
+                    rows[i:j] = np.asarray(a[:3, i:j]).T
+                out.append(rows)
+            else:
+                rows = np.empty((cfg.npart,) + a.shape[1:], np.float32)
+                for i in range(0, cfg.npart, chunk):
+                    j = min(i + chunk, cfg.npart)
+                    rows[i:j] = np.asarray(a[i:j])
+                out.append(rows)
+            continue
+        a = np.asarray(a)
+        if is_cols:
             a = a[:3, : cfg.npart].T
         else:
             a = a[: cfg.npart]

@@ -118,10 +118,10 @@ def test_slab_step_matches_single_device(scheme):
     # first slab step doubles as the initial force evaluation: start from
     # acc = 0 and a zero-velocity half-kick equivalent by running the
     # reference from the same construction
-    pos_d, vel_d, acc_d, phi_d, u_d = state
+    pos_d, vel_d, acc_d, phi_d, u_d, ts_d = state
     for _ in range(nsteps + 1):
-        pos_d, vel_d, acc_d, phi_d, u_d, _, diag = step_fn(
-            pos_d, vel_d, acc_d, phi_d, u_d, dyn, dt
+        pos_d, vel_d, acc_d, phi_d, u_d, ts_d, _, diag = step_fn(
+            pos_d, vel_d, acc_d, phi_d, u_d, ts_d, dyn, dt
         )
         assert int(diag.overflow) == 0
     got_p, got_v = slab.gather_particles(cfg, NDEV, pos_d, vel_d)
@@ -184,8 +184,8 @@ def test_slab_step_theories_match_single_device(theory, solver_name, extra):
     step_next = slab.make_slab_step(cfg, mesh, "leapfrog")
     out = step_first(*state, dyn, np.float32(0))
     for _ in range(nsteps):
-        out = step_next(*out[:5], dyn, dt)
-        assert int(out[6].overflow) == 0
+        out = step_next(*out[:6], dyn, dt)
+        assert int(out[7].overflow) == 0
     got_p, got_v = slab.gather_particles(cfg, NDEV, out[0], out[1])
 
     # single-device reference: same schedule (first pm, then steps)
@@ -303,13 +303,13 @@ def test_slab_step_small_meshes_match_single(n_dev):
     nsteps = 3  # enough that boundary particles migrate
 
     mesh = slab.make_mesh(n_dev)
-    pos_d, vel_d, acc_d, phi_d, u_d = slab.distribute_particles(
+    pos_d, vel_d, acc_d, phi_d, u_d, ts_d = slab.distribute_particles(
         mesh, cfg, pos, vel
     )
     step_fn = slab.make_slab_step(cfg, mesh, "leapfrog")
     for _ in range(nsteps + 1):
-        pos_d, vel_d, acc_d, phi_d, u_d, _, diag = step_fn(
-            pos_d, vel_d, acc_d, phi_d, u_d, dyn, dt
+        pos_d, vel_d, acc_d, phi_d, u_d, ts_d, _, diag = step_fn(
+            pos_d, vel_d, acc_d, phi_d, u_d, ts_d, dyn, dt
         )
         assert int(diag.overflow) == 0
     got_p, got_v = slab.gather_particles(cfg, n_dev, pos_d, vel_d)
@@ -356,7 +356,7 @@ def test_slab_multigrid_cycles_match_single(cycle):
     out = slab.make_slab_step(cfg, mesh, "leapfrog", first_call=True)(
         *state, dyn, np.float32(0)
     )
-    out = slab.make_slab_step(cfg, mesh, "leapfrog")(*out[:5], dyn, dt)
+    out = slab.make_slab_step(cfg, mesh, "leapfrog")(*out[:6], dyn, dt)
     got_p, got_v = slab.gather_particles(cfg, NDEV, out[0], out[1])
 
     phi0, u0 = solver_mod.empty_fields(cfg)
@@ -435,14 +435,79 @@ def test_migration_conserves_mass():
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     mesh = _mesh()
-    pos_d, vel_d, acc_d, phi_d, u_d = slab.distribute_particles(
+    pos_d, vel_d, acc_d, phi_d, u_d, ts_d = slab.distribute_particles(
         mesh, cfg, pos, vel
     )
     step_fn = slab.make_slab_step(cfg, mesh, "leapfrog")
     for _ in range(4):
-        pos_d, vel_d, acc_d, phi_d, u_d, _, diag = step_fn(
-            pos_d, vel_d, acc_d, phi_d, u_d, dyn, np.float32(2e-3)
+        pos_d, vel_d, acc_d, phi_d, u_d, ts_d, _, diag = step_fn(
+            pos_d, vel_d, acc_d, phi_d, u_d, ts_d, dyn, np.float32(2e-3)
         )
         assert int(diag.overflow) == 0
     got_p = slab.gather_particles(cfg, NDEV, pos_d)
     assert got_p.shape[0] == npart  # every particle accounted for
+
+
+def test_slab_lazy_steps_match_single_device_lazy():
+    """Slab presorted (lazy re-binning) steps -- stale bins, drift-widened
+    kernels, both-way spill/halo exchange, no migration -- must track the
+    single-device lazy path to float32 roundoff."""
+    npart = M ** 3 // 4
+    rng = np.random.default_rng(17)
+    pos = rng.random((npart, 3), dtype=np.float32)
+    vel = (0.05 * rng.standard_normal((npart, 3))).astype(np.float32)
+    param = {
+        "theory": "newton", "ncoarse": 5, "npart": npart,
+        "mass_scheme": "tsc", "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
+        "aexp": 0.1, "Om_m": 0.3, "epsrel": 1e-2,
+        "particle_engine": "pallas",
+    }
+    cfg = solver_mod.config_from_param(param)
+    dyn = solver_mod.compute_dynamics(param)
+    # max|v| ~ 0.15 -> 0.3 cells/step at dt=2e-3: two lazy steps stay
+    # within the 1-cell drift bound after the sorted step
+    dt = np.float32(2e-3)
+
+    mesh = _mesh()
+    state = slab.distribute_particles(mesh, cfg, pos, vel)
+    sorted_fn = slab.make_slab_step(cfg, mesh, "leapfrog")
+    lazy_fn = slab.make_slab_step(cfg, mesh, "leapfrog", presorted=True)
+    out = sorted_fn(*state, dyn, dt)
+    for _ in range(2):
+        out = lazy_fn(*out[:6], dyn, dt)
+        assert int(out[7].overflow) == 0
+    got_p, got_v = slab.gather_particles(cfg, NDEV, out[0], out[1])
+    assert got_p.shape[0] == npart
+
+    # single-device lazy reference with the same sort/skip pattern
+    p, v = pallas_pm.to_columns(jnp.asarray(pos), jnp.asarray(vel), npart)
+    acc = jnp.zeros_like(p)
+    ntiles = M * (M // pallas_pm.YB)
+    ts = jnp.zeros(ntiles + 1, jnp.int32)
+    state1 = (p, v, acc, *solver_mod.empty_fields(cfg), ts)
+    out1 = integrate.step_lazy(cfg, "leapfrog", False, False, *state1,
+                               dyn, dt)
+    for _ in range(2):
+        out1 = integrate.step_lazy(cfg, "leapfrog", True, False,
+                                   *out1[:6], dyn, dt)
+        assert int(out1[7].overflow) == 0
+    want_p, want_v = solver_mod.particles_to_rows(cfg, out1[0], out1[1])
+
+    oi = np.lexsort((got_p[:, 2], got_p[:, 1], got_p[:, 0]))
+    oj = np.lexsort((want_p[:, 2], want_p[:, 1], want_p[:, 0]))
+    np.testing.assert_allclose(got_p[oi], want_p[oj], atol=2e-6)
+    np.testing.assert_allclose(got_v[oi], want_v[oj], atol=1e-4, rtol=1e-3)
+
+
+def test_overflow_aborts_by_default():
+    """A nonzero overflow diagnostic must hard-fail the run (the reference
+    can never lose a particle); on_particle_overflow=warn opts out."""
+    from pysco_tpu.main import _handle_overflow
+
+    _handle_overflow({}, 0, "nothing")  # zero never raises
+    with pytest.raises(RuntimeError, match="mass is no longer conserved"):
+        _handle_overflow({}, 3, "slab particle capacity overflow")
+    # explicit opt-out logs and continues
+    _handle_overflow({"on_particle_overflow": "warn"}, 3, "overflow")
