@@ -426,9 +426,17 @@ def main():
     result = _result_dict(value, baseline, extra, components)
     print(json.dumps(result), flush=True)
     try:  # machine-readable source of truth for README/BENCH_NOTES tables
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LATEST.json"), "w") as f:
+        root = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(root, "BENCH_LATEST.json"), "w") as f:
             json.dump(result, f, indent=1)
+        import subprocess
+        import sys as _sys
+
+        subprocess.run(
+            [_sys.executable, os.path.join(root, "tools",
+                                           "gen_perf_table.py")],
+            check=False, timeout=30,
+        )
     except OSError:
         pass
 
