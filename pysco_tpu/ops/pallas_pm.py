@@ -150,25 +150,80 @@ def tile_keys(position, ncells_1d: int, scheme: str, plane0=0,
     return jnp.where(bad, I32(ntiles), key)
 
 
+def _block_sort(ops, B: int):
+    """Sort each contiguous block of ``B`` columns independently (batched
+    ``lax.sort`` along the trailing axis -- much cheaper than one global
+    sort over the full column count)."""
+    nb = ops[0].shape[0] // B
+    res = lax.sort(tuple(o.reshape(nb, B) for o in ops), num_keys=1,
+                   dimension=1)
+    return tuple(o.reshape(-1) for o in res)
+
+
+def _nearly_sort(ops, B: int):
+    """Two-round shifted block sort for nearly sorted operands.
+
+    Round 1 sorts blocks [jB, (j+1)B); round 2 sorts the half-shifted
+    blocks [B/2 + jB, B/2 + (j+1)B) (no wraparound; the outer half
+    blocks are already in final position after round 1). Exact whenever
+    every element sits within B/2 columns of its globally sorted
+    position -- guaranteed here not by construction but by the
+    sortedness check + full-sort fallback at the call site.
+    """
+    n = ops[0].shape[0]
+    h = B // 2
+    ops = _block_sort(ops, B)
+    mid = _block_sort(tuple(o[h:n - h] for o in ops), B)
+    return tuple(
+        jnp.concatenate((o[:h], m_, o[n - h:]))
+        for o, m_ in zip(ops, mid)
+    )
+
+
+def _pow2_block(n: int, block: int) -> int:
+    """Largest power-of-two divisor of ``n`` capped at ``block``."""
+    return min(block, n & -n)
+
+
 def sort_particles(position, velocity, ncells_1d: int, scheme: str,
-                   plane0=0, n_planes: int | None = None):
+                   plane0=0, n_planes: int | None = None,
+                   nearly: bool = False, block: int = 1 << 18):
     """Tile-sort the column state; returns (pos, vel, tile_starts).
 
     One 7-operand ``lax.sort`` per force evaluation; ``tile_starts`` has
     ntiles+1 entries (tile t's particles occupy columns
     [tile_starts[t], tile_starts[t+1])), not aligned to anything -- the
     kernels mask at chunk granularity instead.
+
+    ``nearly=True`` exploits that between force evaluations particles
+    drift by at most ~1 cell (CFL), so the stale order is within a
+    bounded column displacement of the new sorted order: a two-round
+    shifted block sort (:func:`_nearly_sort`, ~2x cheaper than the
+    global 7-operand sort at 256^3) produces the candidate, a cheap
+    key-monotonicity check validates it, and a ``lax.cond`` falls back
+    to the full sort when the displacement bound was violated (heavy
+    clustering, first sort after ICs/restart). Either way the result is
+    exactly tile-sorted.
     """
     m = ncells_1d
     if n_planes is None:
         n_planes = m
     ntiles = n_planes * (m // YB)
     key = tile_keys(position, m, scheme, plane0, n_planes)
-    ops = lax.sort(
-        (key, position[0], position[1], position[2],
-         velocity[0], velocity[1], velocity[2]),
-        num_keys=1,
-    )
+    ops_in = (key, position[0], position[1], position[2],
+              velocity[0], velocity[1], velocity[2])
+    B = _pow2_block(ops_in[0].shape[0], block)
+    if nearly and B >= 4096 and ops_in[0].shape[0] // B >= 2:
+        cand = _nearly_sort(ops_in, B)
+        ok = jnp.all(cand[0][1:] >= cand[0][:-1])
+        ops = lax.cond(
+            ok,
+            lambda full, near: near,
+            lambda full, near: lax.sort(full, num_keys=1),
+            ops_in, cand,
+        )
+    else:
+        ops = lax.sort(ops_in, num_keys=1)
     zero = jnp.zeros_like(ops[1])
     pos_s = jnp.stack((*ops[1:4], zero))
     vel_s = jnp.stack((*ops[4:7], zero))

@@ -65,6 +65,14 @@ class SolverConfig:
     # reference driver's choice, multigrid.py:76-82/131-137), F or W
     # (reference multigrid.py:583-858)
     multigrid_cycle: str = "V"
+    # "full" (default): the global 7-operand sort. "nearly": two-round
+    # shifted block sort exploiting the CFL-bounded drift between force
+    # evaluations, with a monotonicity check and full-sort fallback
+    # (pallas_pm.sort_particles). Measured on v5e at 256^3 the XLA
+    # batched block sort gives no win over the monolithic sort (both
+    # ~140 ms; payload movement dominates), so "nearly" is opt-in until
+    # a VMEM-resident block sorter makes the rounds cheaper.
+    sort_mode: str = "full"
 
     @property
     def ncells_1d(self) -> int:
@@ -97,6 +105,9 @@ def config_from_param(param) -> SolverConfig:
         multigrid_cycle=str(param.get("multigrid_cycle", "V")).upper()
         if hasattr(param, "get")
         else "V",
+        sort_mode=str(param.get("sort_mode", "full")).casefold()
+        if hasattr(param, "get")
+        else "full",
     )
 
 
@@ -305,7 +316,8 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
                 position, velocity, cfg.npart
             )
         position, velocity, tstarts = pallas_pm.sort_particles(
-            position, velocity, n, cfg.mass_scheme
+            position, velocity, n, cfg.mass_scheme,
+            nearly=cfg.sort_mode == "nearly",
         )
         density = pallas_pm.deposit(
             position, tstarts, n, cfg.mass_scheme, interpret
@@ -491,7 +503,8 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
         )
     else:
         position, velocity, tstarts = pallas_pm.sort_particles(
-            position, velocity, n, cfg.mass_scheme
+            position, velocity, n, cfg.mass_scheme,
+            nearly=cfg.sort_mode == "nearly",
         )
         drift = 0
         overflow = jnp.int32(0)

@@ -230,3 +230,48 @@ def test_drift_violations_counter():
     np.testing.assert_allclose(
         np.array(grid, dtype=np.float64).sum(), float(n - count), rtol=1e-6
     )
+
+
+def _tile_multisets(pos_s, starts):
+    """Per-tile sets of particle columns (order within a tile is
+    unspecified across sort strategies)."""
+    pos_np = np.array(pos_s)
+    starts_np = np.array(starts)
+    out = []
+    for t in range(len(starts_np) - 1):
+        cols = pos_np[:3, starts_np[t]:starts_np[t + 1]]
+        order = np.lexsort((cols[2], cols[1], cols[0]))
+        out.append(cols[:, order])
+    return out
+
+
+@pytest.mark.parametrize("scenario", ["random", "drifted"])
+def test_nearly_sort_matches_full(scenario):
+    """nearly=True must yield an exactly tile-sorted state whether the
+    two-round displacement bound holds (drifted: small perturbation of a
+    sorted state) or not (random: the cond fallback path)."""
+    m = 32
+    n = 4096 * 4  # power of two so the block sort engages (B=2^13)
+    rng = np.random.default_rng(7)
+    pos = jnp.asarray(rng.random((n, 3), dtype=np.float32))
+    vel = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+    pos_c, vel_c = pallas_pm.to_columns(pos, vel, n)
+    if scenario == "drifted":
+        # start from a sorted state and drift by < 1 cell
+        pos_c, vel_c, _ = pallas_pm.sort_particles(pos_c, vel_c, m, "tsc")
+        drift = 0.4 / m * rng.standard_normal((4, n)).astype(np.float32)
+        pos_c = jnp.asarray((np.array(pos_c) + drift) % 1.0)
+        pos_c = pos_c.at[3].set(0.0)
+
+    got_p, got_v, got_s = pallas_pm.sort_particles(
+        pos_c, vel_c, m, "tsc", nearly=True, block=4096
+    )
+    want_p, want_v, want_s = pallas_pm.sort_particles(
+        pos_c, vel_c, m, "tsc"
+    )
+    keys = np.array(pallas_pm.tile_keys(got_p, m, "tsc", 0, m))
+    assert np.all(np.diff(keys) >= 0), "output not tile-sorted"
+    np.testing.assert_array_equal(np.array(got_s), np.array(want_s))
+    for a, b in zip(_tile_multisets(got_p, got_s),
+                    _tile_multisets(want_p, want_s)):
+        np.testing.assert_array_equal(a, b)
