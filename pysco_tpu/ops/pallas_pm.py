@@ -60,6 +60,37 @@ from .dense_pm import _WIDTH, _axis_weights, _base_axis
 F32 = jnp.float32
 I32 = jnp.int32
 
+def _dot(a, b, dims, mode: str):
+    """MXU contraction at a configurable precision (the deposit/gather
+    hot cost at large grids: rows x WZ x P MACs per chunk).
+
+    "f32": lax HIGHEST -- 6-pass bf16 emulation, bit-faithful float32.
+    "bf16x3": 3 single-pass dots on hi/lo mantissa splits (Dekker-style;
+    drops only the lo x lo term) -- float32-faithful to ~1 ulp at half
+    the MXU cost of "f32". "bf16": one native bf16 pass (inputs rounded
+    to 8-bit mantissas, ~6x cheaper than "f32"; fine for diagnostics,
+    measurably lossy for the science path).
+    """
+    def d(x, y):
+        return lax.dot_general(x, y, dims, preferred_element_type=F32,
+                               precision=lax.Precision.DEFAULT)
+
+    if mode == "f32":
+        return lax.dot_general(a, b, dims, preferred_element_type=F32,
+                               precision=lax.Precision.HIGHEST)
+    if mode == "bf16":
+        return d(a, b)
+    if mode != "bf16x3":
+        raise ValueError(f"unknown pm precision mode {mode!r}")
+    bf16 = jnp.bfloat16
+    ah = a.astype(bf16).astype(F32)
+    bh = b.astype(bf16).astype(F32)
+    # Explicit hi/lo splits: every operand is the value actually
+    # contracted, so the expression is the same maths on the MXU (which
+    # rounds inputs to bf16 -- hi parts are exact, lo parts lose one
+    # more rounding) and on the CPU interpret path (full-f32 dots).
+    return d(ah, b - bh) + (d(a - ah, bh) + d(ah, bh))
+
 YB = 8  # y-block rows per tile
 Q = 512  # particle chunk size == DMA alignment quantum
 SENTINEL = 2.0  # tail-column x position (anything >= SENTINEL_MIN)
@@ -336,7 +367,8 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
 # Deposit
 # ---------------------------------------------------------------------------
 
-def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0):
+def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
+                    precision: str = "f32"):
     w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
         m, scheme, n_planes, drift
     )
@@ -390,10 +422,9 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0):
                             scheme, m, w, wy_pad, chunk, yb, valid, Q,
                             gplane, drift,
                         )
-                        win[...] = win[...] + lax.dot_general(
+                        win[...] = win[...] + _dot(
                             a_mat, wz_mat, (((1,), (1,)), ((), ())),
-                            preferred_element_type=F32,
-                            precision=lax.Precision.HIGHEST,
+                            precision,
                         )
                         return 0
 
@@ -462,7 +493,8 @@ def _fold_axis(arr, axis, m, lead: int = 0):
 
 def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
                  interpret: bool = False, n_planes: int | None = None,
-                 drift: int = 0, plane0=None) -> jax.Array:
+                 drift: int = 0, plane0=None,
+                 precision: str = "f32") -> jax.Array:
     """Deposit tile-sorted column particles onto the local x-slab.
 
     Returns the y-folded, z-trimmed padded slab
@@ -488,7 +520,7 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     gp_shape = (n_planes + w - 1 + 2 * drift, m + wy_pad - YB, wz_pad)
     zeros = jnp.zeros(gp_shape, F32)
     gp = pl.pallas_call(
-        _deposit_kernel(scheme, m, n_planes, drift),
+        _deposit_kernel(scheme, m, n_planes, drift, precision),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -503,16 +535,17 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     return _fold_axis(gp, 1, m, lead=drift)[:, :, :m]
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
-            interpret: bool = False, drift: int = 0) -> jax.Array:
+            interpret: bool = False, drift: int = 0,
+            precision: str = "f32") -> jax.Array:
     """Deposit tile-sorted column particles; returns the (M, M, M) counts
     grid (single device: the x spill wraps periodically). ``drift``
     widens the windows for the lazy re-binning mode (stale tile sort)."""
     m = ncells_1d
     scheme = scheme.casefold()
     gp = deposit_slab(position_sorted, tile_starts, m, scheme, interpret,
-                      drift=drift)
+                      drift=drift, precision=precision)
     # gp x index i holds grid plane (i - drift)
     return _fold_axis(gp, 0, m, lead=drift)
 
@@ -522,7 +555,7 @@ def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
-                   drift: int = 0):
+                   drift: int = 0, precision: str = "f32"):
     w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
         m, scheme, n_planes, drift
     )
@@ -596,10 +629,9 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                         )
                         # one fused MXU dot over all components:
                         # (C*rows, WZ) x (WZ, P) -> (C*rows, P)
-                        t1 = lax.dot_general(
+                        t1 = _dot(
                             fw_flat[...], wz_mat, (((1,), (0,)), ((), ())),
-                            preferred_element_type=F32,
-                            precision=lax.Precision.HIGHEST,
+                            precision,
                         ).reshape(ncomp, rows, Q)
                         vals = jnp.sum(t1 * a_mat[None, :, :], axis=1)
                         vals = jnp.concatenate(
@@ -668,7 +700,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
 
 def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
                     interpret: bool = False, drift: int = 0,
-                    plane0=None) -> jax.Array:
+                    plane0=None, precision: str = "f32") -> jax.Array:
     """Interpolate a pre-extended local slab field at tile-sorted column
     particles.
 
@@ -709,7 +741,7 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp, n_planes, drift),
+        _gather_kernel(scheme, m, ncomp, n_planes, drift, precision),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -725,9 +757,9 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
     return out
 
 
-@partial(jax.jit, static_argnums=(3, 4))
+@partial(jax.jit, static_argnums=(3, 4, 5))
 def gather_vec(field, position_sorted, tile_starts, scheme: str,
-               interpret: bool = False) -> jax.Array:
+               interpret: bool = False, precision: str = "f32") -> jax.Array:
     """Interpolate an (M, M, M, C) field at tile-sorted column particles
     (single device: the x halo wraps periodically)."""
     w = _WIDTH[scheme.casefold()]
@@ -735,13 +767,15 @@ def gather_vec(field, position_sorted, tile_starts, scheme: str,
         jnp.concatenate([field, field[: w - 1]], axis=0) if w > 1 else field
     )
     return gather_vec_slab(
-        field_ext, position_sorted, tile_starts, scheme, interpret
+        field_ext, position_sorted, tile_starts, scheme, interpret,
+        precision=precision,
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6))
 def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
-                  interpret: bool = False, drift: int = 0) -> jax.Array:
+                  interpret: bool = False, drift: int = 0,
+                  precision: str = "f32") -> jax.Array:
     """Component-leading variant: field (C, M, M, M) -- skips the
     full-field transpose copy that (M, M, M, C) input would need.
     ``drift`` widens the windows for the lazy re-binning mode: the
@@ -775,7 +809,7 @@ def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp, m, drift),
+        _gather_kernel(scheme, m, ncomp, m, drift, precision),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -61,7 +61,8 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
             position, velocity, n, cfg.mass_scheme
         )
         density = pallas_pm.deposit(
-            position, tstarts, n, cfg.mass_scheme, interpret
+            position, tstarts, n, cfg.mass_scheme, interpret,
+            precision=cfg.pm_precision,
         )
         overflow = jnp.int32(0)
     elif cfg.particle_engine == "dense":
@@ -82,7 +83,8 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
         from ..ops import pallas_pm
 
         acc = pallas_pm.gather_vec(
-            force, position, tstarts, cfg.mass_scheme, interpret
+            force, position, tstarts, cfg.mass_scheme, interpret,
+            precision=cfg.pm_precision,
         )
     elif cfg.particle_engine == "dense":
         acc = dense_pm.gather_vec(force, position, starts, cfg.mass_scheme)

@@ -582,7 +582,7 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
 
         gp = pallas_pm.deposit_slab(
             position, tstarts, m, cfg.mass_scheme, interpret, planes,
-            drift, plane0,
+            drift, plane0, precision=cfg.pm_precision,
         )
         density = add_spill(gp, planes, n_dev, lead=drift) * norm
 
@@ -594,7 +594,7 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
         f_ext = halo_lr(force, h_l, h_r, n_dev) if (h_l or h_r) else force
         acceleration = pallas_pm.gather_vec_slab(
             f_ext, position, tstarts, cfg.mass_scheme, interpret, drift,
-            plane0,
+            plane0, precision=cfg.pm_precision,
         )
 
         if integrator == "leapfrog":

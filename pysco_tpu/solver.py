@@ -73,6 +73,11 @@ class SolverConfig:
     # ~140 ms; payload movement dominates), so "nearly" is opt-in until
     # a VMEM-resident block sorter makes the rounds cheaper.
     sort_mode: str = "full"
+    # MXU precision of the pallas deposit/gather contractions (the hot
+    # cost at large grids; see ops/pallas_pm._dot): "bf16x3" (default)
+    # is float32-faithful to ~1 ulp at half the f32-emulation cost;
+    # "f32" is lax HIGHEST; "bf16" a single lossy pass.
+    pm_precision: str = "bf16x3"
 
     @property
     def ncells_1d(self) -> int:
@@ -108,6 +113,9 @@ def config_from_param(param) -> SolverConfig:
         sort_mode=str(param.get("sort_mode", "full")).casefold()
         if hasattr(param, "get")
         else "full",
+        pm_precision=str(param.get("pm_precision", "bf16x3")).casefold()
+        if hasattr(param, "get")
+        else "bf16x3",
     )
 
 
@@ -320,7 +328,8 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             nearly=cfg.sort_mode == "nearly",
         )
         density = pallas_pm.deposit(
-            position, tstarts, n, cfg.mass_scheme, interpret
+            position, tstarts, n, cfg.mass_scheme, interpret,
+            precision=cfg.pm_precision,
         )
         if n ** 3 != cfg.npart:
             density = density * norm
@@ -329,7 +338,8 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             leading=True,
         )
         acceleration = pallas_pm.gather_vec_cl(
-            force, position, tstarts, cfg.mass_scheme, interpret
+            force, position, tstarts, cfg.mass_scheme, interpret,
+            precision=cfg.pm_precision,
         )
         overflow = jnp.int32(0)  # range-masked chunks cannot overflow
         return (position, velocity, acceleration, potential, u, pk,
@@ -509,7 +519,8 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
         drift = 0
         overflow = jnp.int32(0)
     density = pallas_pm.deposit(
-        position, tstarts, n, cfg.mass_scheme, interpret, drift
+        position, tstarts, n, cfg.mass_scheme, interpret, drift,
+        precision=cfg.pm_precision,
     )
     if n ** 3 != cfg.npart:
         density = density * norm
@@ -517,7 +528,8 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
         cfg, False, save_pk, density, potential, u, dyn, leading=True
     )
     acceleration = pallas_pm.gather_vec_cl(
-        force, position, tstarts, cfg.mass_scheme, interpret, drift
+        force, position, tstarts, cfg.mass_scheme, interpret, drift,
+        precision=cfg.pm_precision,
     )
     return (position, velocity, tstarts, acceleration, potential, u, pk,
             overflow)

@@ -104,7 +104,8 @@ def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
     )
     t_sort, (pos_s, vel_s, starts) = timeit(sort_fn, position, velocity)
     t_dep, dens = timeit(
-        lambda p, s: pallas_pm.deposit(p, s, m, scheme, interpret),
+        lambda p, s: pallas_pm.deposit(p, s, m, scheme, interpret,
+                                       precision=cfg.pm_precision),
         pos_s, starts,
     )
     norm = jnp.float32(m ** 3 / cfg.npart)
@@ -119,7 +120,8 @@ def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
 
     t_solve, force = timeit(solve, dens)
     t_gat, _ = timeit(
-        lambda f, p, s: pallas_pm.gather_vec(f, p, s, scheme, interpret),
+        lambda f, p, s: pallas_pm.gather_vec(f, p, s, scheme, interpret,
+                                             precision=cfg.pm_precision),
         force, pos_s, starts,
     )
     return {
