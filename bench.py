@@ -243,8 +243,9 @@ def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
 
 def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None):
     """Lazy re-binning step rates: sort skipped every step (the
-    early-epoch regime, drift bound << 1 cell) and sort-every-2nd (the
-    realistic late-time cadence at Courant ~0.5)."""
+    early-epoch regime, drift bound << 1 cell), sort-every-2nd
+    (lazy_drift=1), and the production sort-every-4th cadence
+    (lazy_drift=2 windows at Courant ~0.5: levels 0,1,2,2)."""
     import jax.numpy as jnp
     from pysco_tpu import integrate, solver as solver_mod
 
@@ -276,11 +277,13 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None):
                                   *state, dyn, dt)
         return out[:6]
 
-    state = lstep(state, False)
-    state = lstep(state, True)
+    state = lstep(state, 0)
+    state = lstep(state, 1)
+    state = lstep(state, 2)
     _sync(state)
     out = {}
-    for label, pattern in (("skip", [True]), ("alt", [False, True])):
+    for label, pattern in (("skip", [1]), ("alt", [0, 1]),
+                           ("c05", [0, 1, 2, 2])):
         state = lstep(state, False)
         _sync(state)
         t0 = time.perf_counter()
@@ -402,10 +405,12 @@ def main():
 
     for args, keys in ((
         {"iters_outer": 4}, ("newton_cic_fft_256_lazy_skip",
-                             "newton_cic_fft_256_lazy_alternating")), (
+                             "newton_cic_fft_256_lazy_alternating",
+                             "newton_cic_fft_256_lazy_courant05")), (
         {"iters_outer": 2, "ncoarse": 9, "npart": 512 ** 3},
         ("newton_cic_fft_512_lazy_skip",
-         "newton_cic_fft_512_lazy_alternating"))):
+         "newton_cic_fft_512_lazy_alternating",
+         "newton_cic_fft_512_lazy_courant05"))):
         nc = args.get("ncoarse", 8)
         if _remaining() < est_cost(nc) + 30:
             extra[keys[0]] = "skipped (budget)"
@@ -413,6 +418,7 @@ def main():
         try:
             lz = bench_lazy("cic", **args)
             extra[keys[0]], extra[keys[1]] = lz["skip"], lz["alt"]
+            extra[keys[2]] = lz["c05"]
         except Exception as e:
             extra[keys[0]] = f"failed: {type(e).__name__}"
 

@@ -74,13 +74,14 @@ def step_impl(cfg: SolverConfig, integrator: str, first_call: bool,
     return position, velocity, acceleration, potential, u, pk, diag
 
 
-def step_lazy_impl(cfg: SolverConfig, integrator: str, presorted: bool,
+def step_lazy_impl(cfg: SolverConfig, integrator: str, presorted: int,
                    save_pk: bool, position, velocity, acceleration,
                    potential, u, tstarts, dyn: DynScalars, dt):
     """KDK/Euler step on the pallas engine with CFL-bounded lazy
-    re-binning (solver._pm_lazy_impl): ``presorted=True`` skips the tile
-    sort and uses drift-widened kernels; the caller guards it with the
-    accumulated host-side drift bound. ``tstarts`` rides in the state.
+    re-binning (solver._pm_lazy_impl): ``presorted = k >= 1`` skips the
+    tile sort and uses k-cell drift-widened kernels; the caller guards
+    it with the accumulated host-side drift bound and picks the smallest
+    sufficient k (<= cfg.lazy_drift). ``tstarts`` rides in the state.
     """
     dt = F32(dt)
     if integrator == "leapfrog":

@@ -57,6 +57,17 @@ def _handle_overflow(param, overflow: int, what: str) -> None:
     )
 
 
+def _drift_level(need: float, max_drift: int) -> int:
+    """Smallest drift-window level (cells) that keeps a lazy re-binned
+    step exact for an accumulated drift bound of ``need`` cells, or 0 if
+    none <= max_drift suffices (forces a re-sort). A window of k cells
+    covers accumulated drift < k; 0.01 is the float-slack margin."""
+    for level in range(1, max_drift + 1):
+        if need <= level - 0.01:
+            return level
+    return 0
+
+
 def _save_pk_mode(param) -> str:
     mode = str(param["save_power_spectrum"]).casefold()
     if mode not in ("no", "z_out", "yes"):
@@ -260,7 +271,9 @@ def run(param) -> None:
             step_bound = (
                 max_abs_vel * dt + 0.5 * max_abs_acc * dt * dt
             ) * cfg.ncells_1d
-            presorted = (cum_drift + step_bound) <= 0.99
+            presorted = _drift_level(
+                cum_drift + step_bound, cfg.lazy_drift
+            )
             (position, velocity, acceleration, potential, u, tstarts, pk,
              diag) = integration.step_lazy(
                 cfg, integrator, presorted, save_pk,
@@ -270,7 +283,8 @@ def run(param) -> None:
             if presorted:
                 cum_drift += step_bound
                 logging.info("lazy re-binning: sort skipped "
-                             "(drift bound %.3f cells)", cum_drift)
+                             "(drift bound %.3f cells, window %d)",
+                             cum_drift, presorted)
             else:
                 cum_drift = 0.0  # this step sorted after its drift
         else:
@@ -362,7 +376,10 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     # both-way spill/halo exchange keep the step exact across slabs.
     lazy = bool(param.get("lazy_sort", True))
     w = slab._WIDTH[cfg.mass_scheme]
-    if cfg.ncells_1d // n_dev < w:  # drift-widened window needs w planes
+    # a k-cell drift-widened window needs slabs at least w-1+k planes tall
+    max_drift = min(int(cfg.lazy_drift),
+                    max(cfg.ncells_1d // n_dev - (w - 1), 0))
+    if max_drift < 1:
         lazy = False
     cum_drift = np.inf  # first loop step sorts
 
@@ -406,14 +423,17 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         step_bound = (
             max_abs_vel * dt + 0.5 * max_abs_acc * dt * dt
         ) * cfg.ncells_1d
-        presorted = lazy and (cum_drift + step_bound) <= 0.99
+        presorted = (
+            _drift_level(cum_drift + step_bound, max_drift) if lazy else 0
+        )
         pos_d, vel_d, acc_d, phi_d, u_d, ts_d, pk, diag = step_fn(
             save_pk, presorted=presorted
         )(pos_d, vel_d, acc_d, phi_d, u_d, ts_d, dyn, np.float32(dt))
         if presorted:
             cum_drift += step_bound
             logging.info("lazy re-binning: slab sort skipped "
-                         "(drift bound %.3f cells)", cum_drift)
+                         "(drift bound %.3f cells, window %d)",
+                         cum_drift, presorted)
         else:
             cum_drift = 0.0
         if save_pk:

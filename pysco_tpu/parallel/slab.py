@@ -488,7 +488,7 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
 
 def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
                    save_pk: bool = False, first_call: bool = False,
-                   presorted: bool = False):
+                   presorted: int = 0):
     """Build the jitted slab-sharded KDK step.
 
     State per shard: pos/vel column arrays (4, C) with sentinel empties,
@@ -502,18 +502,19 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
     (re)initialises the potential/scalaron from scratch -- use it for
     the initial force evaluation (a zero-dt step).
 
-    ``presorted=True`` is the slab analogue of the single-chip lazy
+    ``presorted = k >= 1`` is the slab analogue of the single-chip lazy
     re-binning step: migration AND the tile sort are skipped; particles
-    are processed in their stale bins through drift-widened kernels, the
-    deposit spills up to ``drift`` planes onto BOTH neighbours and the
-    gather fetches the matching asymmetric halo, so a <= 1-cell-stale
-    binning (the caller's CFL drift bound) stays exact even across slab
-    boundaries. A device-side violation counter feeds ``overflow``.
+    are processed in their stale bins through k-cell drift-widened
+    kernels, the deposit spills up to ``drift`` planes onto BOTH
+    neighbours and the gather fetches the matching asymmetric halo, so a
+    < k-cell-stale binning (the caller's CFL drift bound) stays exact
+    even across slab boundaries. A device-side violation counter feeds
+    ``overflow``.
     """
     n_dev = mesh.devices.size
     m = cfg.ncells_1d
     planes = m // n_dev
-    drift = 1 if presorted else 0
+    drift = int(presorted)
     w = _WIDTH[cfg.mass_scheme]
     if planes * n_dev != m or planes < w - 1 + drift:
         raise ValueError(

@@ -78,6 +78,14 @@ class SolverConfig:
     # is float32-faithful to ~1 ulp at half the f32-emulation cost;
     # "f32" is lax HIGHEST; "bf16" a single lossy pass.
     pm_precision: str = "bf16x3"
+    # Maximum lazy re-binning window (cells): the run loop keeps using
+    # stale bins with drift-widened kernels until the accumulated CFL
+    # drift bound exceeds this many cells, then re-sorts. At Courant
+    # ~0.5 the default 2 stretches the tile sort (the single dominant
+    # step cost at 256^3+) to every 4th step; the window level is
+    # chosen per step, so early steps still run the tight drift=1
+    # kernels. 1 restores the round-2 behaviour; 0 sorts every step.
+    lazy_drift: int = 2
 
     @property
     def ncells_1d(self) -> int:
@@ -116,6 +124,9 @@ def config_from_param(param) -> SolverConfig:
         pm_precision=str(param.get("pm_precision", "bf16x3")).casefold()
         if hasattr(param, "get")
         else "bf16x3",
+        lazy_drift=int(param.get("lazy_drift", 2))
+        if hasattr(param, "get")
+        else 2,
     )
 
 
@@ -485,19 +496,21 @@ def pm_donated(cfg: SolverConfig, first_call: bool, save_pk: bool,
     )
 
 
-def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
+def _pm_lazy_impl(cfg: SolverConfig, presorted: int, save_pk: bool,
                   position, velocity, tstarts, potential, u,
                   dyn: DynScalars):
     """Pallas-engine force evaluation with CFL-bounded lazy re-binning.
 
-    With ``presorted=True`` the tile sort is skipped: particles are
-    processed in their stale bins through drift-widened kernel windows
-    (ops/pallas_pm.py, drift=1), which is exact while every particle has
-    moved less than one cell since the binning -- the caller enforces
-    that with the host-side drift bound (max|v| dt + max|a| dt^2/2 per
-    step, accumulated since the last sort), and a device-side violation
-    counter (returned as ``overflow``) detects a broken bound instead of
-    silently corrupting mass. Returns
+    ``presorted`` is the drift window level: with ``presorted = k >= 1``
+    the tile sort is skipped and particles are processed in their stale
+    bins through k-cell drift-widened kernel windows (ops/pallas_pm.py),
+    which is exact while every particle has moved less than k cells
+    since the binning -- the caller enforces that with the host-side
+    drift bound (max|v| dt + max|a| dt^2/2 per step, accumulated since
+    the last sort) and picks the smallest sufficient k, and a
+    device-side violation counter (returned as ``overflow``) detects a
+    broken bound instead of silently corrupting mass. ``presorted = 0``
+    (or False) re-sorts. Returns
     (position, velocity, tstarts, acceleration, potential, u, pk,
     overflow).
     """
@@ -507,7 +520,7 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: bool, save_pk: bool,
 
     interpret = jax.default_backend() == "cpu"
     if presorted:
-        drift = 1
+        drift = int(presorted)
         overflow = pallas_pm.drift_violations(
             position, tstarts, n, cfg.mass_scheme, drift
         )

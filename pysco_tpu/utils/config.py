@@ -155,8 +155,14 @@ DEFAULTS: Dict[str, Any] = {
     # multigrid cycle type: V | F | W (linear and FAS drivers)
     "multigrid_cycle": "V",
     # CFL-bounded lazy re-binning (pallas engine): skip the per-step tile
-    # sort while the accumulated drift bound stays under one cell
+    # sort while the accumulated drift bound stays under lazy_drift cells
     "lazy_sort": True,
+    # maximum lazy window (cells): 2 stretches the tile sort to every 4th
+    # step at Courant ~0.5 (the sort is the dominant step cost at 256^3+)
+    "lazy_drift": 2,
+    # MXU precision of the pallas deposit/gather contractions:
+    # bf16x3 (3-pass hi/lo split, float32-faithful) | f32 | bf16
+    "pm_precision": "bf16x3",
     # distribution: single (one chip) | slab (grids+particles sharded over
     # every attached device, parallel/slab.py)
     "parallel_mode": "single",

@@ -96,20 +96,22 @@ def test_sort_payload_and_binning():
     assert float(jnp.min(wrapped[:3, n:])) >= pallas_pm.SENTINEL_MIN
 
 
-@pytest.mark.parametrize("scheme", ["cic", "tsc"])
-def test_lazy_rebinning_drifted_particles(scheme):
+@pytest.mark.parametrize("scheme,drift,cells", [
+    ("cic", 1, 0.9), ("tsc", 1, 0.9), ("cic", 2, 1.9), ("tsc", 2, 1.9),
+])
+def test_lazy_rebinning_drifted_particles(scheme, drift, cells):
     """CFL-bounded lazy re-binning: after sorting, drift every particle by
-    up to ~0.9 cells WITHOUT re-sorting; the drift=1 widened kernels must
-    still deposit/gather exactly (vs the scatter oracle at the drifted
-    positions)."""
+    up to ~(drift - 0.1) cells WITHOUT re-sorting; the drift-widened
+    kernels must still deposit/gather exactly (vs the scatter oracle at
+    the drifted positions)."""
     m = 32
     n = 3000
     rng = np.random.default_rng(6)
     pos = _particles(n, seed=6, clustered=True)
     pos_s, _, starts = _columns(pos, m, scheme, n)
-    # drift every particle by up to 0.9 cells per axis, with wrap
+    # drift every particle by up to `cells` cells per axis, with wrap
     delta = jnp.asarray(
-        (0.9 / m * (2 * rng.random((3, pos_s.shape[1])) - 1)).astype(
+        (cells / m * (2 * rng.random((3, pos_s.shape[1])) - 1)).astype(
             np.float32
         )
     )
@@ -118,7 +120,7 @@ def test_lazy_rebinning_drifted_particles(scheme):
     drifted = pos_s.at[:3].add(delta)
     drifted = periodic_wrap(drifted)
 
-    grid = pallas_pm.deposit(drifted, starts, m, scheme, True, drift=1)
+    grid = pallas_pm.deposit(drifted, starts, m, scheme, True, drift=drift)
     real = np.array(drifted)[0] < pallas_pm.SENTINEL_MIN
     ref = mesh.deposit(jnp.asarray(np.array(drifted)[:3, real].T), m, scheme)
     # sum in float64: a float32 jnp.sum over the grid carries ~1e-2
@@ -131,7 +133,7 @@ def test_lazy_rebinning_drifted_particles(scheme):
     field = jnp.asarray(rng.random((3, m, m, m)).astype(np.float32))
     got = np.array(
         pallas_pm.gather_vec_cl(field, drifted, starts, scheme, True,
-                                drift=1)
+                                drift=drift)
     )[:3].T
     ref_g = np.array(
         mesh.gather_vec(jnp.moveaxis(field, 0, -1),
@@ -180,18 +182,24 @@ def test_lazy_step_trajectory_matches_sorted():
         state = out[:5]
     want_p, want_v = solver_mod.particles_to_rows(cfg, state[0], state[1])
 
-    # lazy: sort on step 0, skip on 1, sort on 2 (cum bound ~0.5+0.5 > 1)
+    # lazy with lazy_drift=2 windows: sort on step 0, then levels 1, 2, 2
+    # (cum bound 0.55, 1.1, 1.65 -- the production sort-every-4th cadence)
+    from pysco_tpu.main import _drift_level
+
     ntiles = n * (n // pallas_pm.YB)
     tstarts = jnp.zeros(ntiles + 1, jnp.int32)
     lstate = (p0, v0, acc, phi, u, tstarts)
     cum = np.inf
+    levels = []
     for _ in range(nsteps):
-        presorted = cum + 0.55 <= 0.99
+        presorted = _drift_level(cum + 0.55, 2)
+        levels.append(presorted)
         out = integrate.step_lazy(
             cfg, "leapfrog", presorted, False, *lstate, dyn, dt
         )
         lstate = out[:6]
         cum = cum + 0.55 if presorted else 0.0
+    assert levels == [0, 1, 2, 2]
     got_p, got_v = solver_mod.particles_to_rows(cfg, lstate[0], lstate[1])
 
     oi = np.lexsort((got_p[:, 2], got_p[:, 1], got_p[:, 0]))

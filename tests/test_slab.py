@@ -473,10 +473,16 @@ def test_slab_lazy_steps_match_single_device_lazy():
     mesh = _mesh()
     state = slab.distribute_particles(mesh, cfg, pos, vel)
     sorted_fn = slab.make_slab_step(cfg, mesh, "leapfrog")
-    lazy_fn = slab.make_slab_step(cfg, mesh, "leapfrog", presorted=True)
+    # levels 1, 2, 2: the production lazy_drift=2 cadence (0.3 cells/step
+    # keeps the accumulated bound under each window)
+    levels = (1, 2, 2)
+    lazy_fns = {
+        k: slab.make_slab_step(cfg, mesh, "leapfrog", presorted=k)
+        for k in set(levels)
+    }
     out = sorted_fn(*state, dyn, dt)
-    for _ in range(2):
-        out = lazy_fn(*out[:6], dyn, dt)
+    for k in levels:
+        out = lazy_fns[k](*out[:6], dyn, dt)
         assert int(out[7].overflow) == 0
     got_p, got_v = slab.gather_particles(cfg, NDEV, out[0], out[1])
     assert got_p.shape[0] == npart
@@ -489,8 +495,8 @@ def test_slab_lazy_steps_match_single_device_lazy():
     state1 = (p, v, acc, *solver_mod.empty_fields(cfg), ts)
     out1 = integrate.step_lazy(cfg, "leapfrog", False, False, *state1,
                                dyn, dt)
-    for _ in range(2):
-        out1 = integrate.step_lazy(cfg, "leapfrog", True, False,
+    for k in levels:
+        out1 = integrate.step_lazy(cfg, "leapfrog", k, False,
                                    *out1[:6], dyn, dt)
         assert int(out1[7].overflow) == 0
     want_p, want_v = solver_mod.particles_to_rows(cfg, out1[0], out1[1])
