@@ -154,14 +154,15 @@ def bench_config(ncoarse, npart, scheme, theory, solver_name, iters=ITERS,
     return steps_per_sec
 
 
-def bench_components():
-    """Per-component timings (ms) at 256^3 TSC on the TPU."""
+def bench_components(ncoarse=None, npart=None, scheme="tsc", iters=3):
+    """Per-component timings (ms) on the TPU (default 256^3 TSC)."""
     from pysco_tpu import solver as solver_mod
     from pysco_tpu.utils.profiling import component_breakdown
 
     param = {
-        "theory": "newton", "ncoarse": NCOARSE, "npart": NPART,
-        "mass_scheme": "tsc", "linear_newton_solver": "fft",
+        "theory": "newton", "ncoarse": ncoarse or NCOARSE,
+        "npart": npart or NPART,
+        "mass_scheme": scheme, "linear_newton_solver": "fft",
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
         "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
         "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
@@ -169,8 +170,8 @@ def bench_components():
     }
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
-    pos_c, vel_c = _device_state(NPART)
-    return component_breakdown(cfg, pos_c, vel_c, dyn)
+    pos_c, vel_c = _device_state(param["npart"])
+    return component_breakdown(cfg, pos_c, vel_c, dyn, iters=iters)
 
 
 def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
@@ -241,7 +242,8 @@ def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
     return pos, vel, acc_new
 
 
-def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None):
+def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
+               theory="newton", solver_name="fft"):
     """Lazy re-binning step rates: sort skipped every step (the
     early-epoch regime, drift bound << 1 cell), sort-every-2nd
     (lazy_drift=1), and the production sort-every-4th cadence
@@ -252,11 +254,11 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None):
     ncoarse = ncoarse or NCOARSE
     npart = npart or NPART
     param = {
-        "theory": "newton", "ncoarse": ncoarse, "npart": npart,
-        "mass_scheme": scheme, "linear_newton_solver": "fft",
+        "theory": theory, "ncoarse": ncoarse, "npart": npart,
+        "mass_scheme": scheme, "linear_newton_solver": solver_name,
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
-        "fR_n": 1, "mond_function": "simple", "mond_alpha": 1.0,
-        "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
+        "fR_n": 1, "fR_logfR0": 5.0, "mond_function": "simple",
+        "mond_alpha": 1.0, "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
         "particle_engine": "pallas",
     }
     cfg = solver_mod.config_from_param(param)
@@ -314,9 +316,8 @@ def bench_cpu_baseline() -> float:
     return iters / (time.perf_counter() - t0)
 
 
-# (label, ncoarse, npart, scheme, theory, solver, iters) in PRIORITY
-# order (after the headline): the 512^3 north-star sizes and f(R) first
-# (the numbers the judge requires), then the remaining theory families.
+# (label, ncoarse, npart, scheme, theory, solver, iters) -- consumed by
+# the priority-ordered TASK list in main().
 CONFIGS = [
     ("newton_cic_fft_512", 9, 512 ** 3, "cic", "newton", "fft", 4),
     ("fr_n1_tsc_multigrid_256", 8, 256 ** 3, "tsc", "fr", "multigrid", 5),
@@ -344,7 +345,7 @@ def _load_cpu_baseline() -> float:
     return baseline
 
 
-def _result_dict(value, baseline, extra, components):
+def _result_dict(value, baseline, extra, components, components_512=None):
     return {
         "metric":
             "PM steps/sec, Newton 256^3 grid + 256^3 particles (CIC+FFT)",
@@ -361,7 +362,15 @@ def _result_dict(value, baseline, extra, components):
         ),
         "extra_metrics_steps_per_sec": extra,
         "component_ms_256_tsc": components,
+        "component_ms_512_cic": components_512 or {"skipped": "budget"},
     }
+
+
+def _lazy_task(extra, prefix, **kwargs):
+    lz = bench_lazy("cic", **kwargs)
+    extra[f"{prefix}_lazy_skip"] = lz["skip"]
+    extra[f"{prefix}_lazy_alternating"] = lz["alt"]
+    extra[f"{prefix}_lazy_courant05"] = lz["c05"]
 
 
 def main():
@@ -378,58 +387,90 @@ def main():
 
     extra = {"newton_cic_fft_256": round(value, 3)}
     components = {"skipped": "budget"}
+    components_512 = {"skipped": "budget"}
     print(json.dumps(_result_dict(value, baseline, extra, components)),
           flush=True)
 
-    # --- extras in priority order, each gated on remaining budget -----
-    # Cost model: each config is compile-dominated; scale the observed
+    # --- extras in PRIORITY order, each gated on remaining budget -----
+    # Cost model: each task is compile-dominated; scale the observed
     # headline cost (512^3 programs compile similarly but step ~8x
-    # slower, hence the extra margin). Keep a 30 s reserve for the
-    # final print.
-    def est_cost(nc):
-        return cost_256 * (1.6 if nc > 8 else 1.2)
+    # slower; a lazy block compiles 3-4 step variants). After EVERY
+    # completed task the full cumulative table is reprinted, so a driver
+    # timeout only ever costs the tasks not yet run (the last complete
+    # JSON line wins). Keep a 30 s reserve for the final write.
+    def est_cost(nc, programs=1):
+        return cost_256 * (1.6 if nc > 8 else 1.2) * max(1, 0.6 * programs)
 
-    for label, nc, npart, scheme, theory, solver_name, iters in CONFIGS:
-        if _remaining() < est_cost(nc) + 30:
-            extra[label] = "skipped (budget)"
+    def cfg_task(extra_, label, nc, npart, scheme, theory, solver_name,
+                 iters):
+        sps = bench_config(nc, npart, scheme, theory, solver_name,
+                           iters=iters, warmup=2 if nc > 8 else WARMUP)
+        extra_[label] = round(sps, 3)
+
+    by_label = {c[0]: c for c in CONFIGS}
+
+    def cfg(label):
+        c = by_label[label]
+        return (label, c[1], 1, lambda e: cfg_task(e, *c))
+
+    # (first_key, ncoarse, n_programs, fn) in priority order: production
+    # lazy cadences and the 512^3 / f(R) north stars before breadth.
+    tasks = [
+        ("newton_cic_fft_256_lazy_skip", 8, 4,
+         lambda e: _lazy_task(e, "newton_cic_fft_256", iters_outer=4)),
+        cfg("newton_cic_fft_512"),
+        ("newton_cic_fft_512_lazy_skip", 9, 4,
+         lambda e: _lazy_task(e, "newton_cic_fft_512", iters_outer=2,
+                              ncoarse=9, npart=512 ** 3)),
+        cfg("fr_n1_tsc_multigrid_256"),
+        ("fr_n1_tsc_multigrid_256_lazy_skip", 8, 4,
+         lambda e: _lazy_task(e, "fr_n1_tsc_multigrid_256", iters_outer=3,
+                              theory="fr", solver_name="multigrid")),
+        cfg("fr_n1_cic_multigrid_512"),
+        cfg("newton_tsc_multigrid_256"),
+        cfg("newton_tsc_fft_256"),
+        ("components", 8, 2, None),      # handled specially below
+        ("components_512", 9, 2, None),  # handled specially below
+        cfg("parametrized_tsc_fft_256"),
+        cfg("mond_tsc_multigrid_256"),
+        cfg("fr_n2_tsc_multigrid_256"),
+    ]
+    special = ("components", "components_512")
+
+    for first_key, nc, programs, fn in tasks:
+        if _remaining() < est_cost(nc, programs) + 30:
+            if first_key not in special:
+                extra[first_key] = "skipped (budget)"
             continue
         try:
             t_cfg = time.perf_counter()
-            sps = bench_config(nc, npart, scheme, theory, solver_name,
-                               iters=iters, warmup=2 if nc > 8 else WARMUP)
-            extra[label] = round(sps, 3)
-            cost_256 = max(cost_256, (time.perf_counter() - t_cfg)
-                           / (1.6 if nc > 8 else 1.2))
+            if first_key == "components":
+                components = bench_components()
+            elif first_key == "components_512":
+                components_512 = bench_components(
+                    ncoarse=9, npart=512 ** 3, scheme="cic", iters=2
+                )
+            else:
+                fn(extra)
+                cost_256 = max(
+                    cost_256,
+                    (time.perf_counter() - t_cfg)
+                    / ((1.6 if nc > 8 else 1.2) * max(1, 0.6 * programs)),
+                )
         except Exception as e:  # record the failure, keep going
-            extra[label] = f"failed: {type(e).__name__}"
-
-    for args, keys in ((
-        {"iters_outer": 4}, ("newton_cic_fft_256_lazy_skip",
-                             "newton_cic_fft_256_lazy_alternating",
-                             "newton_cic_fft_256_lazy_courant05")), (
-        {"iters_outer": 2, "ncoarse": 9, "npart": 512 ** 3},
-        ("newton_cic_fft_512_lazy_skip",
-         "newton_cic_fft_512_lazy_alternating",
-         "newton_cic_fft_512_lazy_courant05"))):
-        nc = args.get("ncoarse", 8)
-        if _remaining() < est_cost(nc) + 30:
-            extra[keys[0]] = "skipped (budget)"
-            continue
-        try:
-            lz = bench_lazy("cic", **args)
-            extra[keys[0]], extra[keys[1]] = lz["skip"], lz["alt"]
-            extra[keys[2]] = lz["c05"]
-        except Exception as e:
-            extra[keys[0]] = f"failed: {type(e).__name__}"
-
-    if _remaining() > est_cost(8) + 30:
-        try:
-            components = bench_components()
-        except Exception as e:
-            components = {"failed": type(e).__name__}
+            if first_key == "components":
+                components = {"failed": type(e).__name__}
+            elif first_key == "components_512":
+                components_512 = {"failed": type(e).__name__}
+            else:
+                extra[first_key] = f"failed: {type(e).__name__}"
+        # cumulative table after every task: a timeout can only cost
+        # the tasks not yet run
+        print(json.dumps(_result_dict(value, baseline, extra, components,
+                                      components_512)), flush=True)
 
     # --- final line: the full table (last JSON line wins) -------------
-    result = _result_dict(value, baseline, extra, components)
+    result = _result_dict(value, baseline, extra, components, components_512)
     print(json.dumps(result), flush=True)
     try:  # machine-readable source of truth for README/BENCH_NOTES tables
         root = os.path.dirname(os.path.abspath(__file__))
