@@ -91,8 +91,10 @@ def prolongation_slab(x: jax.Array, n_dev: int) -> jax.Array:
 
 def gauss_seidel_slab(x, b, n_dev: int, f_relax: float = F_RELAX,
                       rhs=None) -> jax.Array:
-    """Red-black over-relaxed sweep with global parity; one halo exchange
-    per colour half (the opposite colour is frozen during a half).
+    """Masked red-black over-relaxed sweep with global parity; one halo
+    exchange per colour half (the opposite colour is frozen during a
+    half). Reference semantics for the packed fast path below --
+    :func:`smoothing_slab` must agree bit-exactly (tests/test_slab_mg).
 
     With ``rhs`` it smooths the reformulated FAS equation
     x = (sum_nb - h^2 b)/6 + rhs (laplacian.gauss_seidel_with_rhs)."""
@@ -112,10 +114,102 @@ def gauss_seidel_slab(x, b, n_dev: int, f_relax: float = F_RELAX,
     return half(1, half(0, x))
 
 
-def smoothing_slab(x, b, n_smoothing: int, n_dev: int, rhs=None):
-    for _ in range(n_smoothing):
-        x = gauss_seidel_slab(x, b, n_dev, rhs=rhs)
-    return x
+# ---------------------------------------------------------------------------
+# Packed red-black half-lattices on the slab
+#
+# Same scheme as models/laplacian.py (pack along y with the i/k parity
+# s(i,k) so every load and flop is useful -- half the bandwidth and half
+# the root solves of the masked sweep), except s uses the GLOBAL plane
+# index i + r*planes so the packing is consistent across shards, and the
+# two x-neighbours (which sit at the SAME packed (jp, k) index of the
+# opposite colour) come from a 1-plane ppermute halo instead of a roll.
+# Addition order matches neighbour_sum_slab (x-, x+, y-, y+, z-, z+) so
+# results are bit-identical to gauss_seidel_slab.
+# ---------------------------------------------------------------------------
+
+
+def _parity_ik_slab(planes: int, m: int):
+    """s(i, k) = (i_global + k) & 1 as a bool (planes, 1, m) mask."""
+    r = lax.axis_index(AXIS)
+    ii = lax.broadcasted_iota(jnp.int32, (planes, 1, m), 0) + r * planes
+    kk = lax.broadcasted_iota(jnp.int32, (planes, 1, m), 2)
+    return ((ii + kk) & 1) == 1
+
+
+def pack_rb_slab(x: jax.Array):
+    """Split a (planes, m, m) slab into (red, black) (planes, m/2, m)
+    half-lattices; red = odd GLOBAL parity (laplacian.pack_rb)."""
+    planes, m = x.shape[0], x.shape[1]
+    x5 = x.reshape(planes, m // 2, 2, m)
+    s1 = _parity_ik_slab(planes, m)
+    even, odd = x5[:, :, 0, :], x5[:, :, 1, :]
+    red = jnp.where(s1, even, odd)
+    black = jnp.where(s1, odd, even)
+    return red, black
+
+
+def unpack_rb_slab(red: jax.Array, black: jax.Array) -> jax.Array:
+    planes, m = red.shape[0], red.shape[2]
+    s1 = _parity_ik_slab(planes, m)
+    even = jnp.where(s1, red, black)
+    odd = jnp.where(s1, black, red)
+    return jnp.stack((even, odd), axis=2).reshape(planes, m, m)
+
+
+def packed_neighbour_sum_slab(src: jax.Array, to_red: bool,
+                              n_dev: int) -> jax.Array:
+    """Sum of the 6 stencil neighbours of each `to_red` (else black)
+    cell, read from the opposite-colour half-lattice ``src``
+    (laplacian.packed_neighbour_sum with the i-rolls replaced by a
+    1-plane halo exchange -- x-neighbours keep the packed y index)."""
+    planes, m = src.shape[0], src.shape[2]
+    s1 = _parity_ik_slab(planes, m)
+    ext = exchange_halo_x(src, 1, n_dev)
+    if to_red:
+        ym = jnp.where(s1, jnp.roll(src, 1, 1), src)
+        yp = jnp.where(s1, src, jnp.roll(src, -1, 1))
+    else:
+        ym = jnp.where(s1, src, jnp.roll(src, 1, 1))
+        yp = jnp.where(s1, jnp.roll(src, -1, 1), src)
+    return (
+        ext[:-2]
+        + ext[2:]
+        + ym
+        + yp
+        + jnp.roll(src, 1, 2)
+        + jnp.roll(src, -1, 2)
+    )
+
+
+def smoothing_slab(x, b, n_smoothing: int, n_dev: int, rhs=None,
+                   f_relax: float = F_RELAX):
+    """n_smoothing packed red-black sweeps (one pack/unpack round trip),
+    bit-identical to looping :func:`gauss_seidel_slab`."""
+    m = x.shape[1]
+    fr = F32(f_relax)
+    invsix = F32(1.0 / 6.0)
+    red, black = pack_rb_slab(x)
+    h2b_r, h2b_b = pack_rb_slab(F32(1.0 / (m * m)) * b)
+    rhs_r, rhs_b = pack_rb_slab(rhs) if rhs is not None else (None, None)
+
+    def sweep(_, carry):
+        red, black = carry
+        tgt = (packed_neighbour_sum_slab(black, True, n_dev) - h2b_r) * invsix
+        if rhs_r is not None:
+            tgt = tgt + rhs_r
+        red = red + fr * (tgt - red)
+        tgt = (packed_neighbour_sum_slab(red, False, n_dev) - h2b_b) * invsix
+        if rhs_b is not None:
+            tgt = tgt + rhs_b
+        black = black + fr * (tgt - black)
+        return red, black
+
+    if jax.default_backend() == "tpu":
+        red, black = lax.fori_loop(0, n_smoothing, sweep, (red, black))
+    else:
+        for _ in range(n_smoothing):
+            red, black = sweep(0, (red, black))
+    return unpack_rb_slab(red, black)
 
 
 def _gather_full(x_local: jax.Array) -> jax.Array:
@@ -205,6 +299,7 @@ class SlabFASOps:
 
     smoothing: Callable  # (x, b, n, rhs) -> x            [slab]
     operator: Callable  # (x, b) -> array                 [slab]
+    gauss_seidel_masked: Callable  # (x, b, rhs) -> x; reference sweep
     restrict_residual: Callable  # (x, b, rhs) -> coarse  [slab]
     residual_error: Callable  # (x, b) -> scalar (psum)   [slab]
     truncation_error: Callable  # (x, b) -> scalar (psum) [slab]
@@ -279,9 +374,61 @@ def _fas_ops_scalaron_slab(q, n_dev: int, n_power: int,
         return half(1, half(0, x))
 
     def smoothing(x, b, n, rhs=None):
-        for _ in range(n):
-            x = gauss_seidel(x, b, rhs)
-        return x
+        """n packed red-black sweeps (cubic.smoothing / quartic.smoothing
+        on the slab): each colour update reads only the opposite
+        half-lattice's n_power-th power and solves the root only for the
+        cells it updates -- bit-identical to looping ``gauss_seidel``."""
+        m = x.shape[1]
+        h2 = 1.0 / (m * m)
+        fr = F32(F_RELAX)
+        invsix = F32(1.0 / 6.0)
+        red, black = pack_rb_slab(x)
+        hb_r, hb_b = pack_rb_slab(F32(h2) * b)
+        if exact_root:
+            if n_power == 2:
+                base = 27.0 * h2 * jnp.asarray(q, jnp.float64)
+                scale = 27.0
+            else:
+                base = h2 * jnp.asarray(q, jnp.float64)
+                scale = 1.0
+            if rhs is None:
+                coef_r = coef_b = base
+            else:
+                r_r, r_b = pack_rb_slab(rhs)
+                coef_r = base - scale * r_r.astype(jnp.float64)
+                coef_b = base - scale * r_b.astype(jnp.float64)
+        else:
+            c0_q = F32(h2) * jnp.asarray(q, F32)
+            if rhs is None:
+                coef_r = coef_b = c0_q
+            else:
+                r_r, r_b = pack_rb_slab(rhs)
+                coef_r, coef_b = c0_q - r_r, c0_q - r_b
+
+        def update(x_half, other, hb, coef, to_red):
+            xp = other * other if n_power == 2 else other * other * other
+            p = hb - invsix * packed_neighbour_sum_slab(xp, to_red, n_dev)
+            if exact_root:
+                if n_power == 2:
+                    x_new = mod.solution_cubic_equation(p, coef).astype(F32)
+                else:
+                    x_new = mod.solution_quartic_equation(p, coef).astype(F32)
+            else:
+                x_new = mod._newton_root(x_half, p, coef)
+            return x_half + fr * (x_new - x_half)
+
+        def sweep(_, carry):
+            red, black = carry
+            red = update(red, black, hb_r, coef_r, True)
+            black = update(black, red, hb_b, coef_b, False)
+            return red, black
+
+        if jax.default_backend() == "tpu":
+            red, black = lax.fori_loop(0, n, sweep, (red, black))
+        else:
+            for _ in range(n):
+                red, black = sweep(0, (red, black))
+        return unpack_rb_slab(red, black)
 
     def restrict_residual(x, b, rhs=None):
         r = operator(x, b)
@@ -306,6 +453,7 @@ def _fas_ops_scalaron_slab(q, n_dev: int, n_power: int,
     return SlabFASOps(
         smoothing=smoothing,
         operator=operator,
+        gauss_seidel_masked=gauss_seidel,
         restrict_residual=restrict_residual,
         residual_error=residual_error,
         truncation_error=truncation_error,
