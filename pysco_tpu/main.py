@@ -392,6 +392,53 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     max_abs_acc = float(diag.max_abs_acc)
     max_abs_vel = float(diag.max_abs_vel)
 
+    # Proactive capacity re-balancing: slabs inherit the x-density
+    # imbalance as structure forms, and the per-shard capacity is a
+    # static (compiled) shape -- so instead of stepping until a shard
+    # overflows (hard abort, _handle_overflow), watch the per-shard
+    # occupancy from the tile starts (free: ts_d is already fetched) and
+    # re-distribute with a larger slack BEFORE any particle is at risk.
+    # Costs one host round-trip + one re-trace per growth event.
+    headroom = float(param.get("slab_rebalance_headroom", 0.9))
+
+    def rebalance_if_needed():
+        nonlocal pos_d, vel_d, acc_d, phi_d, u_d, ts_d, slack
+        nonlocal max_abs_acc, max_abs_vel, cum_drift
+        if not 0.0 < headroom < 1.0:
+            return  # disabled
+        cap = pos_d.shape[1] // n_dev
+        counts = np.asarray(ts_d).reshape(n_dev, -1)[:, -1]
+        occ = float(counts.max()) / cap
+        if occ <= headroom:
+            return
+        slack_new = slack * 1.5
+        # capacity is Q-quantized (padded_cols): keep growing until it
+        # actually increases, or the check re-triggers every step
+        while slab.shard_capacity(cfg.npart, n_dev, slack_new) <= cap:
+            slack_new *= 1.5
+        logging.warning(
+            "slab occupancy %.0f%% of capacity (max shard %d / %d): "
+            "re-balancing with slack %.2f -> %.2f (one re-trace)",
+            100 * occ, int(counts.max()), cap, slack, slack_new,
+        )
+        slack = slack_new
+        param["slab_slack"] = slack  # restarts inherit the grown capacity
+        pos_np, vel_np = slab.gather_particles(cfg, n_dev, pos_d, vel_d)
+        p2, v2, a2, _, _, t2 = slab.distribute_particles(
+            mesh, cfg, pos_np, vel_np, slack
+        )
+        step_fns.clear()  # capacity changed: new shapes, new programs
+        # zero-dt step rebuilds acc/ts at the new capacity; the converged
+        # phi/u grids carry over as solver initial guesses
+        pos_d, vel_d, acc_d, phi_d, u_d, ts_d, _, diag2 = step_fn(False)(
+            p2, v2, a2, phi_d, u_d, t2, dyn, np.float32(0)
+        )
+        cum_drift = 0.0
+        max_abs_acc = float(diag2.max_abs_acc)
+        max_abs_vel = float(diag2.max_abs_vel)
+
+    rebalance_if_needed()
+
     while param["aexp"] < aexp_out[-1]:
         param["nsteps"] = int(param["nsteps"]) + 1
         dt, dts = integration.compute_dt(param, tables, max_abs_acc,
@@ -447,6 +494,7 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
             "slab lazy re-binning drift-bound violation" if presorted
             else "slab particle capacity overflow",
         )
+        rebalance_if_needed()
         if param["write_snapshot"]:
             pos_np, vel_np = slab.gather_particles(
                 cfg, n_dev, pos_d, vel_d

@@ -169,6 +169,10 @@ DEFAULTS: Dict[str, Any] = {
     # slab mode per-shard particle capacity factor (slabs inherit the
     # x-density imbalance once structure forms; overflow is detected)
     "slab_slack": 1.25,
+    # slab mode: re-distribute with 1.5x the slack once any shard's
+    # occupancy exceeds this fraction of its capacity (proactive, before
+    # particles are at risk; costs one re-trace). Set >= 1 to disable.
+    "slab_rebalance_headroom": 0.9,
 }
 
 

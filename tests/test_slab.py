@@ -517,3 +517,53 @@ def test_overflow_aborts_by_default():
         _handle_overflow({}, 3, "slab particle capacity overflow")
     # explicit opt-out logs and continues
     _handle_overflow({"on_particle_overflow": "warn"}, 3, "overflow")
+
+
+def test_run_slab_rebalance(tmp_path):
+    """Proactive capacity re-balancing: with a tiny headroom threshold the
+    run grows the per-shard capacity (slack growth, re-trace, zero-dt
+    re-step) instead of ever risking the overflow abort -- and the
+    physics is unaffected: the final snapshot matches a run without
+    re-balancing."""
+    import pysco_tpu
+    from pysco_tpu.cosmo import write_power_spectrum_table
+    from pysco_tpu.utils import io as iostream
+
+    pk_file = tmp_path / "pk.dat"
+    write_power_spectrum_table(str(pk_file))
+
+    def run(base, headroom):
+        param = {
+            "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
+            "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
+            "ncoarse": 5, "npart": 16 ** 3, "z_start": 49, "seed": 42,
+            "position_ICS": "center", "fixed_ICS": False,
+            "paired_ICS": False, "dealiased_ICS": False,
+            "power_spectrum_file": str(pk_file),
+            "initial_conditions": "2LPT", "base": str(base),
+            "output_snapshot_format": "HDF5", "z_out": "[47]",
+            "save_power_spectrum": "no", "integrator": "leapfrog",
+            "mass_scheme": "TSC", "n_reorder": 50, "Courant_factor": 1.0,
+            "max_aexp_stepping": 10, "linear_newton_solver": "fft",
+            "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+            "epsrel": 1e-2, "verbose": 1, "parallel_mode": "slab",
+            "slab_rebalance_headroom": headroom,
+        }
+        pysco_tpu.run(param)
+        snap = sorted(base.glob("output_*/particles_*"))[-1]
+        attrs = iostream.read_hdf5_snapshot_attrs(str(snap))
+        return attrs, iostream.read_snapshot_particles_hdf5(str(snap))
+
+    attrs_r, (pos_r, vel_r) = run(tmp_path / "reb", 0.01)  # triggers now
+    # the grown slack is persisted in the snapshot attrs (restart contract)
+    assert float(attrs_r["slab_slack"]) > 1.25
+    assert pos_r.shape == (16 ** 3, 3)  # every particle survived
+
+    _, (pos_n, vel_n) = run(tmp_path / "base", 1.0)  # disabled
+    oi = np.lexsort((pos_r[:, 2], pos_r[:, 1], pos_r[:, 0]))
+    oj = np.lexsort((pos_n[:, 2], pos_n[:, 1], pos_n[:, 0]))
+    np.testing.assert_allclose(pos_r[oi], pos_n[oj], atol=2e-6)
+    np.testing.assert_allclose(
+        vel_r[oi], vel_n[oj],
+        atol=2e-4 * max(np.abs(vel_n).max(), 1e-8), rtol=2e-3,
+    )
