@@ -142,6 +142,14 @@ def run(param) -> None:
     pk_mode = _save_pk_mode(param)
 
     if parallel_mode == "slab":
+        if cfg.particle_engine != "pallas":
+            # the sharded step only has the pallas transfer path; say so
+            # rather than silently ignoring the key
+            raise NotImplementedError(
+                f"particle_engine={cfg.particle_engine!r} with "
+                "parallel_mode='slab': the slab step supports only "
+                "'pallas' (scatter/dense are single-device engines)"
+            )
         return _run_slab(
             param, tables, cfg, integrator, pk_mode, position, velocity,
             z_out,

@@ -567,3 +567,32 @@ def test_run_slab_rebalance(tmp_path):
         vel_r[oi], vel_n[oj],
         atol=2e-4 * max(np.abs(vel_n).max(), 1e-8), rtol=2e-3,
     )
+
+
+def test_slab_rejects_non_pallas_engine(tmp_path):
+    """parallel_mode=slab only has the pallas transfer path; a configured
+    scatter/dense engine must fail loudly, not be silently ignored."""
+    import pytest as _pytest
+
+    import pysco_tpu
+    from pysco_tpu.cosmo import write_power_spectrum_table
+
+    pk_file = tmp_path / "pk.dat"
+    write_power_spectrum_table(str(pk_file))
+    param = {
+        "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
+        "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
+        "ncoarse": 5, "npart": 16 ** 3, "z_start": 49, "seed": 42,
+        "position_ICS": "center", "fixed_ICS": False, "paired_ICS": False,
+        "dealiased_ICS": False, "power_spectrum_file": str(pk_file),
+        "initial_conditions": "2LPT", "base": str(tmp_path / "run"),
+        "output_snapshot_format": "HDF5", "z_out": "[47]",
+        "save_power_spectrum": "no", "integrator": "leapfrog",
+        "mass_scheme": "TSC", "n_reorder": 50, "Courant_factor": 1.0,
+        "max_aexp_stepping": 10, "linear_newton_solver": "fft",
+        "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+        "epsrel": 1e-2, "verbose": 0, "parallel_mode": "slab",
+        "particle_engine": "scatter",
+    }
+    with _pytest.raises(NotImplementedError, match="slab"):
+        pysco_tpu.run(param)
