@@ -57,6 +57,39 @@ def _handle_overflow(param, overflow: int, what: str) -> None:
     )
 
 
+def _advance_time(param, tables, aexp_out, t_out, max_abs_acc,
+                  max_abs_vel) -> float:
+    """One host-side background advance, shared by every run-loop flavour:
+    adaptive dt (3 criteria), clamping onto the next output time (landing
+    exactly on the output scale factor avoids interp round-trip error
+    stranding aexp just below the target), aexp/units/potential_scaling
+    bookkeeping (reference integration.py:253-257). Sets
+    param["write_snapshot"] and returns dt."""
+    dt, dts = integration.compute_dt(param, tables, max_abs_acc,
+                                     max_abs_vel)
+    i_snap_idx = min(int(param["i_snap"]) - 1, len(t_out) - 1)
+    t_snap_next = t_out[i_snap_idx]
+    if param["t"] + dt > t_snap_next:
+        dt = t_snap_next - param["t"]
+        param["write_snapshot"] = True
+    else:
+        param["write_snapshot"] = False
+    logging.info("dt conditions: acc=%s vel=%s aexp=%s", *dts)
+    param["t"] = param["t"] + dt
+    param["aexp_old"] = param["aexp"]
+    if param["write_snapshot"]:
+        param["aexp"] = float(aexp_out[i_snap_idx])
+    else:
+        param["aexp"] = float(np.exp(tables[0](param["t"])))
+    set_units(param)
+    d1_new = float(tables[3](np.log(param["aexp"])))
+    d1_old = float(tables[3](np.log(param["aexp_old"]))) or 1.0
+    param["potential_scaling"] = (
+        param["aexp"] * d1_new / (param["aexp_old"] * d1_old)
+    )
+    return dt
+
+
 def _drift_level(need: float, max_drift: int) -> int:
     """Smallest drift-window level (cells) that keeps a lazy re-binned
     step exact for an accumulated drift bound of ``need`` cells, or 0 if
@@ -154,9 +187,15 @@ def run(param) -> None:
             param, tables, cfg, integrator, pk_mode, position, velocity,
             z_out,
         )
+    if parallel_mode == "replicated":
+        return _run_replicated(
+            param, tables, cfg, integrator, pk_mode, position, velocity,
+            z_out,
+        )
     if parallel_mode != "single":
         raise NotImplementedError(
-            f"parallel_mode={parallel_mode!r}, should be 'single' or 'slab'"
+            f"parallel_mode={parallel_mode!r}, should be 'single', "
+            "'replicated' or 'slab'"
         )
 
     # Device state. For the pallas engine, build the (4, N_up) column
@@ -232,32 +271,8 @@ def run(param) -> None:
 
     while param["aexp"] < aexp_out[-1]:
         param["nsteps"] = int(param["nsteps"]) + 1
-
-        dt, dts = integration.compute_dt(param, tables, max_abs_acc, max_abs_vel)
-        i_snap_idx = min(int(param["i_snap"]) - 1, len(t_out) - 1)
-        t_snap_next = t_out[i_snap_idx]
-        if param["t"] + dt > t_snap_next:
-            dt = t_snap_next - param["t"]
-            param["write_snapshot"] = True
-        else:
-            param["write_snapshot"] = False
-        logging.info("dt conditions: acc=%s vel=%s aexp=%s", *dts)
-
-        # advance background on the host (reference: integration.py:253-257)
-        param["t"] = param["t"] + dt
-        param["aexp_old"] = param["aexp"]
-        if param["write_snapshot"]:
-            # land exactly on the output scale factor (avoids interp
-            # round-trip error stranding aexp just below the target)
-            param["aexp"] = float(aexp_out[i_snap_idx])
-        else:
-            param["aexp"] = float(np.exp(tables[0](param["t"])))
-        set_units(param)
-        d1_new = float(tables[3](np.log(param["aexp"])))
-        d1_old = float(tables[3](np.log(param["aexp_old"]))) or 1.0
-        param["potential_scaling"] = (
-            param["aexp"] * d1_new / (param["aexp_old"] * d1_old)
-        )
+        dt = _advance_time(param, tables, aexp_out, t_out,
+                           max_abs_acc, max_abs_vel)
         dyn = solver_mod.compute_dynamics(param)
 
         save_pk = pk_mode == "yes" or (
@@ -338,6 +353,104 @@ def run(param) -> None:
             )
             iostream.write_snapshot_particles(pos_np, vel_np, param)
             param["i_snap"] = int(param["i_snap"]) + 1
+        logging.warning(
+            "nsteps=%d aexp=%.6f z=%.4f",
+            param["nsteps"], param["aexp"], 1.0 / param["aexp"] - 1,
+        )
+
+
+def _run_replicated(param, tables, cfg, integrator, pk_mode, position,
+                    velocity, z_out) -> None:
+    """Replicated-grid run loop: particles sharded over every attached
+    device, field grids replicated (parallel/pm.py) -- one psum of the
+    deposited density per force evaluation, everything else local. The
+    right mode when the grid fits per chip and particle work dominates;
+    ``parallel_mode = slab`` shards the grids too."""
+    from .parallel import pm as par_pm
+
+    mesh = par_pm.make_mesh()
+    n_dev = mesh.devices.size
+    logging.warning("replicated-grid mode: %d devices, %d particles each",
+                    n_dev, cfg.npart // n_dev)
+    if cfg.particle_engine == "pallas":
+        from .ops import pallas_pm
+
+        position, velocity = pallas_pm.to_columns_host(
+            np.asarray(position), np.asarray(velocity), cfg.npart
+        )
+    elif cfg.npart % n_dev:
+        raise ValueError(
+            f"npart={cfg.npart} must split evenly over {n_dev} devices "
+            "for parallel_mode='replicated' with a row-layout engine"
+        )
+    phi0, u0 = solver_mod.empty_fields(cfg)
+    acc0 = jnp.zeros_like(jnp.asarray(position, jnp.float32))
+    state = par_pm.shard_state(
+        mesh, jnp.asarray(position, jnp.float32),
+        jnp.asarray(velocity, jnp.float32), acc0, phi0, u0,
+    )
+
+    step_fns = {}
+
+    def step_fn(save_pk, first_call=False):
+        key = (save_pk, first_call)
+        if key not in step_fns:
+            step_fns[key] = par_pm.make_sharded_step(
+                cfg, mesh, integrator, first_call=first_call,
+                save_pk=save_pk,
+            )
+        return step_fns[key]
+
+    dyn = solver_mod.compute_dynamics(param)
+    save_pk_first = pk_mode == "yes"
+    # first force evaluation: a zero-dt step reduces to deposit ->
+    # psum -> solve -> gather
+    pos_d, vel_d, acc_d, phi_d, u_d, pk, diag = step_fn(
+        save_pk_first, first_call=True
+    )(*state, dyn, np.float32(0))
+    if save_pk_first:
+        _write_pk(pk, param)
+
+    aexp_out = np.sort(1.0 / (np.array(z_out, dtype=np.float64) + 1))
+    t_out = np.array([float(tables[1](np.log(a))) for a in aexp_out])
+    if "i_snap" not in param:
+        param["i_snap"] = 1
+    else:
+        param["i_snap"] = int(param["i_snap"]) + 1
+    max_abs_acc = float(diag.max_abs_acc)
+    max_abs_vel = float(diag.max_abs_vel)
+
+    while param["aexp"] < aexp_out[-1]:
+        param["nsteps"] = int(param["nsteps"]) + 1
+        dt = _advance_time(param, tables, aexp_out, t_out,
+                           max_abs_acc, max_abs_vel)
+        dyn = solver_mod.compute_dynamics(param)
+        save_pk = pk_mode == "yes" or (
+            pk_mode == "z_out" and param["write_snapshot"]
+        )
+        t_step0 = perf_counter()
+        pos_d, vel_d, acc_d, phi_d, u_d, pk, diag = step_fn(save_pk)(
+            pos_d, vel_d, acc_d, phi_d, u_d, dyn, np.float32(dt)
+        )
+        if save_pk:
+            _write_pk(pk, param)
+        max_abs_acc = float(diag.max_abs_acc)
+        max_abs_vel = float(diag.max_abs_vel)
+        logging.info("step wall time: %.1f ms",
+                     1e3 * (perf_counter() - t_step0))
+        _handle_overflow(param, int(diag.overflow),
+                         "dense particle engine plane-capacity overflow")
+        if param["write_snapshot"]:
+            pos_np, vel_np = solver_mod.particles_to_rows(
+                cfg, pos_d, vel_d
+            )
+            iostream.write_snapshot_particles(pos_np, vel_np, param)
+            param["i_snap"] = int(param["i_snap"]) + 1
+        if cfg.theory == "fr" and param["nsteps"] % 10 == 0:
+            logging.info(
+                "mean(u_scalaron)=%s (should stay close to 1)",
+                float(diag.mean_additional),
+            )
         logging.warning(
             "nsteps=%d aexp=%.6f z=%.4f",
             param["nsteps"], param["aexp"], 1.0 / param["aexp"] - 1,
@@ -449,27 +562,8 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
 
     while param["aexp"] < aexp_out[-1]:
         param["nsteps"] = int(param["nsteps"]) + 1
-        dt, dts = integration.compute_dt(param, tables, max_abs_acc,
-                                         max_abs_vel)
-        i_snap_idx = min(int(param["i_snap"]) - 1, len(t_out) - 1)
-        t_snap_next = t_out[i_snap_idx]
-        if param["t"] + dt > t_snap_next:
-            dt = t_snap_next - param["t"]
-            param["write_snapshot"] = True
-        else:
-            param["write_snapshot"] = False
-        param["t"] = param["t"] + dt
-        param["aexp_old"] = param["aexp"]
-        if param["write_snapshot"]:
-            param["aexp"] = float(aexp_out[i_snap_idx])
-        else:
-            param["aexp"] = float(np.exp(tables[0](param["t"])))
-        set_units(param)
-        d1_new = float(tables[3](np.log(param["aexp"])))
-        d1_old = float(tables[3](np.log(param["aexp_old"]))) or 1.0
-        param["potential_scaling"] = (
-            param["aexp"] * d1_new / (param["aexp_old"] * d1_old)
-        )
+        dt = _advance_time(param, tables, aexp_out, t_out,
+                           max_abs_acc, max_abs_vel)
         dyn = solver_mod.compute_dynamics(param)
         save_pk = pk_mode == "yes" or (
             pk_mode == "z_out" and param["write_snapshot"]

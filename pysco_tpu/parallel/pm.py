@@ -42,8 +42,8 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(devices, axis_names=("dp",))
 
 
-def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
-                potential, u, dyn: DynScalars):
+def _sharded_pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
+                position, velocity, potential, u, dyn: DynScalars):
     """Deposit local shard -> psum -> replicated solve -> local gather.
 
     Each device runs its particle engine on its own shard; only the
@@ -76,8 +76,8 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
         overflow = jnp.int32(0)
     density = jax.lax.psum(density, "dp")
     density = density * norm
-    force, potential, u, _ = solver_mod._solve_fields(
-        cfg, first_call, False, density, potential, u, dyn
+    force, potential, u, pk = solver_mod._solve_fields(
+        cfg, first_call, save_pk, density, potential, u, dyn
     )
     if cfg.particle_engine == "pallas":
         from ..ops import pallas_pm
@@ -90,13 +90,16 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, position, velocity,
         acc = dense_pm.gather_vec(force, position, starts, cfg.mass_scheme)
     else:
         acc = mesh_ops.gather_vec(force, position, cfg.mass_scheme)
-    return position, velocity, acc, potential, u, overflow
+    if not save_pk:
+        pk = F32(0)
+    return position, velocity, acc, potential, u, pk, overflow
 
 
 def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
-                      first_call: bool = False):
+                      first_call: bool = False, save_pk: bool = False):
     """Build the jitted SPMD step: particles sharded on ``dp``, fields
-    replicated. Returns ``fn(pos, vel, acc, phi, u, dyn, dt) -> state'``."""
+    replicated. Returns
+    ``fn(pos, vel, acc, phi, u, dyn, dt) -> (state', pk, diag)``."""
 
     dyn_specs = jax.tree.map(lambda _: P(), DynScalars(*[0.0] * 10))
     # pallas column state (4, N_up) shards on the column axis; the
@@ -120,6 +123,7 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
         in_specs=(pspec, pspec, pspec, P(), P(), dyn_specs, P()),
         out_specs=(
             pspec, pspec, pspec, P(), P(),
+            (P(), P(), P()) if save_pk else P(),
             StepDiagnostics(P(), P(), P(), P()),
         ),
         check_vma=False,
@@ -130,17 +134,17 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
             half_dt = F32(0.5) * dt
             velocity = velocity - acceleration * half_dt
             position = mesh_ops.periodic_wrap(position + velocity * dt)
-            position, velocity, acceleration, potential, u, overflow = (
-                _sharded_pm(cfg, first_call, position, velocity, potential,
-                            u, dyn)
+            position, velocity, acceleration, potential, u, pk, overflow = (
+                _sharded_pm(cfg, first_call, save_pk, position, velocity,
+                            potential, u, dyn)
             )
             velocity = velocity - acceleration * half_dt
         elif integrator == "euler":
             position = mesh_ops.periodic_wrap(position + velocity * dt)
             velocity = velocity - acceleration * dt
-            position, velocity, acceleration, potential, u, overflow = (
-                _sharded_pm(cfg, first_call, position, velocity, potential,
-                            u, dyn)
+            position, velocity, acceleration, potential, u, pk, overflow = (
+                _sharded_pm(cfg, first_call, save_pk, position, velocity,
+                            potential, u, dyn)
             )
         else:
             raise NotImplementedError(integrator)
@@ -150,7 +154,7 @@ def make_sharded_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog
             mean_additional=jax.lax.pmean(jnp.mean(u), "dp"),
             overflow=jax.lax.psum(overflow, "dp"),
         )
-        return position, velocity, acceleration, potential, u, diag
+        return position, velocity, acceleration, potential, u, pk, diag
 
     return jax.jit(step_shard)
 

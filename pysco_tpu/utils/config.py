@@ -163,8 +163,9 @@ DEFAULTS: Dict[str, Any] = {
     # MXU precision of the pallas deposit/gather contractions:
     # bf16x3 (3-pass hi/lo split, float32-faithful) | f32 | bf16
     "pm_precision": "bf16x3",
-    # distribution: single (one chip) | slab (grids+particles sharded over
-    # every attached device, parallel/slab.py)
+    # distribution: single (one chip) | replicated (particles sharded,
+    # grids replicated + one density psum, parallel/pm.py) | slab
+    # (grids AND particles sharded, parallel/slab.py)
     "parallel_mode": "single",
     # slab mode per-shard particle capacity factor (slabs inherit the
     # x-density imbalance once structure forms; overflow is detected)

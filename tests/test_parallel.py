@@ -81,9 +81,9 @@ def test_sharded_step_matches_single_device(engine):
         np.array(ref[3]), np.array(got[3]), atol=1e-5, rtol=1e-4
     )
     np.testing.assert_allclose(
-        float(ref[6].max_abs_acc), float(got[5].max_abs_acc), rtol=1e-4
+        float(ref[6].max_abs_acc), float(got[6].max_abs_acc), rtol=1e-4
     )
-    assert int(got[5].overflow) == 0
+    assert int(got[6].overflow) == 0
 
 
 @pytest.mark.parametrize("theory,extra", [
@@ -211,4 +211,54 @@ def test_sharded_step_multigrid():
     np.testing.assert_allclose(rp, gp, atol=1e-6)
     np.testing.assert_allclose(
         np.array(ref[3]), np.array(got[3]), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_run_replicated_end_to_end(tmp_path):
+    """pysco_tpu.run with parallel_mode='replicated' (particles sharded,
+    grids replicated): full simulation on the 8-device mesh, snapshots
+    and P(k) written, final state matching a parallel_mode='single' run
+    (same engine, same maths; only the deposit's psum summation order
+    differs)."""
+    import pysco_tpu
+    from pysco_tpu.cosmo import write_power_spectrum_table
+    from pysco_tpu.utils import io as iostream
+
+    pk_file = tmp_path / "pk.dat"
+    write_power_spectrum_table(str(pk_file))
+
+    def run(base, mode):
+        param = {
+            "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
+            "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
+            "ncoarse": 5, "npart": 16 ** 3, "z_start": 49, "seed": 42,
+            "position_ICS": "center", "fixed_ICS": False,
+            "paired_ICS": False, "dealiased_ICS": False,
+            "power_spectrum_file": str(pk_file),
+            "initial_conditions": "2LPT", "base": str(base),
+            "output_snapshot_format": "HDF5", "z_out": "[44]",
+            "save_power_spectrum": "z_out", "integrator": "leapfrog",
+            "mass_scheme": "TSC", "n_reorder": 50, "Courant_factor": 1.0,
+            "max_aexp_stepping": 10, "linear_newton_solver": "fft",
+            "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+            "epsrel": 1e-2, "verbose": 1, "parallel_mode": mode,
+        }
+        pysco_tpu.run(param)
+        snap = sorted(base.glob("output_*/particles_*"))[-1]
+        pks = sorted(base.glob("power/pk_*.dat"))
+        assert pks, "P(k) written at z_out"
+        return iostream.read_snapshot_particles_hdf5(str(snap))
+
+    pos_r, vel_r = run(tmp_path / "rep", "replicated")
+    assert pos_r.shape == (16 ** 3, 3)
+    assert np.isfinite(pos_r).all() and np.isfinite(vel_r).all()
+    assert ((pos_r >= 0) & (pos_r < 1)).all()
+
+    pos_s, vel_s = run(tmp_path / "single", "single")
+    oi = np.lexsort((pos_r[:, 2], pos_r[:, 1], pos_r[:, 0]))
+    oj = np.lexsort((pos_s[:, 2], pos_s[:, 1], pos_s[:, 0]))
+    np.testing.assert_allclose(pos_r[oi], pos_s[oj], atol=2e-6)
+    np.testing.assert_allclose(
+        vel_r[oi], vel_s[oj],
+        atol=2e-4 * max(np.abs(vel_s).max(), 1e-8), rtol=2e-3,
     )
