@@ -8,7 +8,7 @@ attached chip and asserts the diagnostics are finite. With the persistent
 compilation cache (shared with bench.py) a warm run takes well under two
 minutes; run it whenever kernel code changed and a TPU is attached.
 
-Usage: python tools/tpu_smoke.py [--small]
+Usage: python tools/tpu_smoke.py [--small] [--cpu]
 """
 
 import os
@@ -19,7 +19,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    if "--cpu" in sys.argv:
+        # validate the script logic without a TPU (8 virtual devices so
+        # the distribution-mode rows exercise real collectives)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+
     import jax
+
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     cache = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -101,9 +113,90 @@ def main():
                       f"{time.perf_counter() - t0:6.1f}s  {e!r}",
                       flush=True)
 
+    # distribution modes on however many devices are attached (one on the
+    # axon tunnel): the sharded steps compile different Mosaic programs
+    # (slab window shapes, halo exchanges, psum'd deposit) than the
+    # single-chip path, so exercise them on the real backend too.
+    from pysco_tpu.parallel import pm as par_pm, slab
+
+    for mode, theory, solver_name in (
+        ("slab", "newton", "fft"),
+        ("slab", "fr", "multigrid"),
+        ("replicated", "newton", "fft"),
+    ):
+        t0 = time.perf_counter()
+        param = {
+            "theory": theory, "ncoarse": ncoarse, "npart": npart,
+            "mass_scheme": "tsc", "linear_newton_solver": solver_name,
+            "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
+            "fR_n": 1, "fR_logfR0": 5.0, "Om_lambda": 0.7,
+            "Om_r": 0.0, "w0": -1.0, "wa": 0.0,
+            "unit_l": 3085.0, "unit_t": 1e10,
+            "mond_function": "simple", "mond_alpha": 1.0,
+            "mond_g0": 1.2, "mond_scale_factor_exponent": 0.0,
+            "aexp": 0.2, "Om_m": 0.3, "epsrel": 1e-2,
+            "particle_engine": "pallas",
+        }
+        try:
+            cfg = solver_mod.config_from_param(param)
+            dyn = solver_mod.compute_dynamics(param)
+            k = jr.PRNGKey(2)
+            pos = jr.uniform(k, (npart, 3), jnp.float32)
+            vel = 0.01 * jr.normal(jr.fold_in(k, 1), (npart, 3),
+                                   jnp.float32)
+            if mode == "slab":
+                mesh = slab.make_mesh()
+                state = slab.distribute_particles(
+                    mesh, cfg, np.asarray(pos), np.asarray(vel)
+                )
+                out = slab.make_slab_step(cfg, mesh, "leapfrog",
+                                          first_call=True)(
+                    *state, dyn, np.float32(0)
+                )
+                out = slab.make_slab_step(cfg, mesh, "leapfrog")(
+                    *out[:6], dyn, np.float32(1e-3)
+                )
+                diag = out[7]
+            else:
+                mesh = par_pm.make_mesh()
+                pos_c, vel_c = pallas_pm.to_columns_host(
+                    np.asarray(pos), np.asarray(vel), npart
+                )
+                phi, u = solver_mod.empty_fields(cfg)
+                acc = jnp.zeros_like(jnp.asarray(pos_c))
+                state = par_pm.shard_state(
+                    mesh, jnp.asarray(pos_c), jnp.asarray(vel_c), acc,
+                    phi, u,
+                )
+                out = par_pm.make_sharded_step(cfg, mesh, "leapfrog",
+                                               first_call=True)(
+                    *state, dyn, np.float32(0)
+                )
+                out = par_pm.make_sharded_step(cfg, mesh, "leapfrog")(
+                    *out[:5], dyn, np.float32(1e-3)
+                )
+                diag = out[6]
+            vals = {
+                "max|acc|": float(diag.max_abs_acc),
+                "max|vel|": float(diag.max_abs_vel),
+                "overflow": float(diag.overflow),
+            }
+            ok = all(np.isfinite(v) for v in vals.values()) and (
+                vals["max|acc|"] > 0 and vals["overflow"] == 0
+            )
+            status = "OK " if ok else "BAD"
+            if not ok:
+                failures.append((mode, theory, vals))
+            print(f"{status} {mode:10s} {theory:7s} "
+                  f"{time.perf_counter() - t0:6.1f}s  {vals}", flush=True)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            failures.append((mode, theory, repr(e)))
+            print(f"FAIL {mode:10s} {theory:7s} "
+                  f"{time.perf_counter() - t0:6.1f}s  {e!r}", flush=True)
+
     if failures:
         raise SystemExit(f"smoke failures: {failures}")
-    print("all engine x theory combinations finite on this backend")
+    print("all engine x theory x mode combinations finite on this backend")
 
 
 if __name__ == "__main__":
