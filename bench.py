@@ -258,7 +258,11 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
         "mass_scheme": scheme, "linear_newton_solver": solver_name,
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
         "fR_n": 1, "fR_logfR0": 5.0, "mond_function": "simple",
-        "mond_alpha": 1.0, "aexp": 0.1, "Om_m": 0.25733, "epsrel": 1e-2,
+        "mond_alpha": 1.0, "mond_g0": 1.2,
+        "mond_scale_factor_exponent": 0.0, "parametrized_mu0": 0.1,
+        "aexp": 0.1, "Om_m": 0.25733,
+        "Om_lambda": 0.74267, "Om_r": 0.0, "w0": -1.0, "wa": 0.0,
+        "unit_l": 3085.0, "unit_t": 1e10, "epsrel": 1e-2,
         "particle_engine": "pallas",
     }
     cfg = solver_mod.config_from_param(param)

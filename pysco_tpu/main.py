@@ -18,6 +18,7 @@ from typing import Dict
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from . import cosmo, ic
@@ -173,6 +174,11 @@ def run(param) -> None:
     cfg = solver_mod.config_from_param(param)
     integrator = str(param["integrator"]).casefold()
     pk_mode = _save_pk_mode(param)
+    # re-read after ic.generate: a restart restores parameters (including
+    # parallel_mode) from the snapshot attrs, and the dispatch must honour
+    # the restored value, not the pre-restore one read for the device_ic
+    # gate (restarts never take the device-IC path, so that gate is safe)
+    parallel_mode = str(param.get("parallel_mode", "single")).casefold()
 
     if parallel_mode == "slab":
         if cfg.particle_engine != "pallas":
@@ -521,15 +527,20 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     # re-distribute with a larger slack BEFORE any particle is at risk.
     # Costs one host round-trip + one re-trace per growth event.
     headroom = float(param.get("slab_rebalance_headroom", 0.9))
+    # scalar on-device reduction (one int per check over the tunnel; a
+    # full tile-starts fetch would be ~130 KB/step at 512^3)
+    max_count_fn = jax.jit(lambda t: jnp.max(t.reshape(n_dev, -1)[:, -1]))
 
-    def rebalance_if_needed():
+    def rebalance_if_needed(sorted_step: bool = True):
         nonlocal pos_d, vel_d, acc_d, phi_d, u_d, ts_d, slack
         nonlocal max_abs_acc, max_abs_vel, cum_drift
         if not 0.0 < headroom < 1.0:
             return  # disabled
+        if not sorted_step:
+            return  # counts only change via migration, i.e. on sorts
         cap = pos_d.shape[1] // n_dev
-        counts = np.asarray(ts_d).reshape(n_dev, -1)[:, -1]
-        occ = float(counts.max()) / cap
+        max_count = int(max_count_fn(ts_d))
+        occ = max_count / cap
         if occ <= headroom:
             return
         slack_new = slack * 1.5
@@ -540,7 +551,7 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         logging.warning(
             "slab occupancy %.0f%% of capacity (max shard %d / %d): "
             "re-balancing with slack %.2f -> %.2f (one re-trace)",
-            100 * occ, int(counts.max()), cap, slack, slack_new,
+            100 * occ, max_count, cap, slack, slack_new,
         )
         slack = slack_new
         param["slab_slack"] = slack  # restarts inherit the grown capacity
@@ -554,6 +565,8 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         pos_d, vel_d, acc_d, phi_d, u_d, ts_d, _, diag2 = step_fn(False)(
             p2, v2, a2, phi_d, u_d, t2, dyn, np.float32(0)
         )
+        _handle_overflow(param, int(diag2.overflow),
+                         "slab re-balancing re-distribution step")
         cum_drift = 0.0
         max_abs_acc = float(diag2.max_abs_acc)
         max_abs_vel = float(diag2.max_abs_vel)
@@ -596,7 +609,7 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
             "slab lazy re-binning drift-bound violation" if presorted
             else "slab particle capacity overflow",
         )
-        rebalance_if_needed()
+        rebalance_if_needed(sorted_step=not presorted)
         if param["write_snapshot"]:
             pos_np, vel_np = slab.gather_particles(
                 cfg, n_dev, pos_d, vel_d

@@ -184,47 +184,10 @@ def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None,
     reads only the opposite half-lattice and solves the cubic only for
     the cells it updates -- half the bandwidth and half the root solves
     of the masked sweep, bit-identical results."""
-    from .laplacian import pack_rb, packed_neighbour_sum, unpack_rb
+    from .laplacian import packed_scalaron_smoothing
 
-    n = x.shape[0]
-    h2 = 1.0 / (n * n)
-    fr = F32(F_RELAX)
-    invsix = F32(1.0 / 6.0)
-    red, black = pack_rb(x)
-    hb_r, hb_b = pack_rb(F32(h2) * b)
-    if exact_root:
-        d1_q = 27.0 * h2 * jnp.asarray(q, F64)
-        if rhs is None:
-            d1_r = d1_b = d1_q
-        else:
-            r_r, r_b = pack_rb(rhs)
-            d1_r = d1_q - 27.0 * r_r.astype(F64)
-            d1_b = d1_q - 27.0 * r_b.astype(F64)
-    else:
-        c0_q = F32(h2) * jnp.asarray(q, F32)
-        if rhs is None:
-            c0_r = c0_b = c0_q
-        else:
-            r_r, r_b = pack_rb(rhs)
-            c0_r, c0_b = c0_q - r_r, c0_q - r_b
-
-    def update(x_half, other, hb, d1_or_c0, to_red):
-        p = hb - invsix * packed_neighbour_sum(other * other, to_red)
-        if exact_root:
-            x_new = solution_cubic_equation(p, d1_or_c0).astype(F32)
-        else:
-            x_new = _newton_root(x_half, p, d1_or_c0)
-        return x_half + fr * (x_new - x_half)
-
-    def sweep(_, carry):
-        red, black = carry
-        red = update(red, black, hb_r, d1_r if exact_root else c0_r, True)
-        black = update(black, red, hb_b, d1_b if exact_root else c0_b, False)
-        return red, black
-
-    if jax.default_backend() == "tpu":
-        red, black = jax.lax.fori_loop(0, n_smoothing, sweep, (red, black))
-    else:
-        for _ in range(n_smoothing):
-            red, black = sweep(0, (red, black))
-    return unpack_rb(red, black)
+    return packed_scalaron_smoothing(
+        x, b, q, n_smoothing, rhs, exact_root, n_power=2,
+        newton_root=_newton_root, exact_solve=solution_cubic_equation,
+        exact_scale=27.0,
+    )

@@ -219,6 +219,66 @@ def _smoothing_packed(x, b, n_smoothing: int, rhs=None,
     return unpack_rb(red, black)
 
 
+def packed_scalaron_smoothing(x, b, q, n_smoothing: int, rhs,
+                              exact_root: bool, n_power: int,
+                              newton_root, exact_solve,
+                              exact_scale: float) -> jax.Array:
+    """Shared packed red-black sweep driver for the f(R) scalaron
+    (u^(n_power+1) + p u + q h^2 = 0): each colour update reads only the
+    opposite half-lattice's n_power-th power and solves the root only
+    for the cells it updates. The cubic (n_power=2) and quartic
+    (n_power=3) smoothers differ only in the neighbour power, the
+    closed-form solver and how rhs enters the exact coefficient
+    (d1 = 27 h^2 q - 27 rhs vs q_eff = h^2 q - rhs: ``exact_scale``),
+    so both delegate here (cubic.smoothing / quartic.smoothing)."""
+    import jax.numpy as jnp
+
+    F64 = jnp.float64
+    n = x.shape[0]
+    h2 = 1.0 / (n * n)
+    fr = F32(F_RELAX)
+    invsix = F32(1.0 / 6.0)
+    red, black = pack_rb(x)
+    hb_r, hb_b = pack_rb(F32(h2) * b)
+    if exact_root:
+        base = exact_scale * h2 * jnp.asarray(q, F64)
+        if rhs is None:
+            coef_r = coef_b = base
+        else:
+            r_r, r_b = pack_rb(rhs)
+            coef_r = base - exact_scale * r_r.astype(F64)
+            coef_b = base - exact_scale * r_b.astype(F64)
+    else:
+        c0_q = F32(h2) * jnp.asarray(q, F32)
+        if rhs is None:
+            coef_r = coef_b = c0_q
+        else:
+            r_r, r_b = pack_rb(rhs)
+            coef_r, coef_b = c0_q - r_r, c0_q - r_b
+
+    def update(x_half, other, hb, coef, to_red):
+        xp = other * other if n_power == 2 else other * other * other
+        p = hb - invsix * packed_neighbour_sum(xp, to_red)
+        if exact_root:
+            x_new = exact_solve(p, coef).astype(F32)
+        else:
+            x_new = newton_root(x_half, p, coef)
+        return x_half + fr * (x_new - x_half)
+
+    def sweep(_, carry):
+        red, black = carry
+        red = update(red, black, hb_r, coef_r, True)
+        black = update(black, red, hb_b, coef_b, False)
+        return red, black
+
+    if jax.default_backend() == "tpu":
+        red, black = jax.lax.fori_loop(0, n_smoothing, sweep, (red, black))
+    else:
+        for _ in range(n_smoothing):
+            red, black = sweep(0, (red, black))
+    return unpack_rb(red, black)
+
+
 def gauss_seidel(x: jax.Array, b: jax.Array, f_relax: float = F_RELAX) -> jax.Array:
     """One red-black over-relaxed Gauss-Seidel sweep.
 

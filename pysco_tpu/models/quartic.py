@@ -176,48 +176,10 @@ def smoothing(x: jax.Array, b: jax.Array, q, n_smoothing: int, rhs=None,
     """n_smoothing red-black sweeps on packed half-lattices (one
     pack/unpack round trip; see laplacian.pack_rb and cubic.smoothing --
     same structure with cube-sum neighbours and the quartic root)."""
-    from .laplacian import pack_rb, packed_neighbour_sum, unpack_rb
+    from .laplacian import packed_scalaron_smoothing
 
-    n = x.shape[0]
-    h2 = 1.0 / (n * n)
-    fr = F32(F_RELAX)
-    invsix = F32(1.0 / 6.0)
-    red, black = pack_rb(x)
-    hb_r, hb_b = pack_rb(F32(h2) * b)
-    if exact_root:
-        q_eff_base = h2 * jnp.asarray(q, F64)
-        if rhs is None:
-            q_r = q_b = q_eff_base
-        else:
-            r_r, r_b = pack_rb(rhs)
-            q_r = q_eff_base - r_r.astype(F64)
-            q_b = q_eff_base - r_b.astype(F64)
-    else:
-        c0_q = F32(h2) * jnp.asarray(q, F32)
-        if rhs is None:
-            c0_r = c0_b = c0_q
-        else:
-            r_r, r_b = pack_rb(rhs)
-            c0_r, c0_b = c0_q - r_r, c0_q - r_b
-
-    def update(x_half, other, hb, q_or_c0, to_red):
-        o2 = other * other
-        p = hb - invsix * packed_neighbour_sum(o2 * other, to_red)
-        if exact_root:
-            x_new = solution_quartic_equation(p, q_or_c0).astype(F32)
-        else:
-            x_new = _newton_root(x_half, p, q_or_c0)
-        return x_half + fr * (x_new - x_half)
-
-    def sweep(_, carry):
-        red, black = carry
-        red = update(red, black, hb_r, q_r if exact_root else c0_r, True)
-        black = update(black, red, hb_b, q_b if exact_root else c0_b, False)
-        return red, black
-
-    if jax.default_backend() == "tpu":
-        red, black = jax.lax.fori_loop(0, n_smoothing, sweep, (red, black))
-    else:
-        for _ in range(n_smoothing):
-            red, black = sweep(0, (red, black))
-    return unpack_rb(red, black)
+    return packed_scalaron_smoothing(
+        x, b, q, n_smoothing, rhs, exact_root, n_power=3,
+        newton_root=_newton_root, exact_solve=solution_quartic_equation,
+        exact_scale=1.0,
+    )

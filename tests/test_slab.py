@@ -246,7 +246,7 @@ def test_run_slab_end_to_end(tmp_path):
     assert np.isfinite(data).all() and (data[:, 1] > 0).all()
 
 
-def test_run_slab_restart(tmp_path):
+def test_run_slab_restart(tmp_path, capsys):
     """Slab-mode restart from a snapshot written by a slab-mode run."""
     import pysco_tpu
     from pysco_tpu.cosmo import write_power_spectrum_table
@@ -269,11 +269,17 @@ def test_run_slab_restart(tmp_path):
         "epsrel": 1e-2, "verbose": 0, "parallel_mode": "slab",
     }
     pysco_tpu.run(dict(param))
-    # restart from snapshot 1 and continue to z=42
+    # restart from snapshot 1 and continue to z=42. parallel_mode is
+    # deliberately OMITTED: the dispatch must honour the value restored
+    # from the snapshot attrs (slab), not the pre-restore default
     param2 = dict(param)
+    del param2["parallel_mode"]
     param2["initial_conditions"] = 1
     param2["z_out"] = "[42]"
+    param2["verbose"] = 1  # the slab loop announces itself at WARNING
+    capsys.readouterr()  # drop output from the first run
     pysco_tpu.run(param2)
+    assert "slab mode:" in capsys.readouterr().err
     snaps = sorted(base.glob("output_*/particles_*"))
     assert len(snaps) >= 2
 
