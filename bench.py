@@ -370,8 +370,8 @@ def _result_dict(value, baseline, extra, components, components_512=None):
     }
 
 
-def _lazy_task(extra, prefix, **kwargs):
-    lz = bench_lazy("cic", **kwargs)
+def _lazy_task(extra, prefix, scheme="cic", **kwargs):
+    lz = bench_lazy(scheme, **kwargs)
     extra[f"{prefix}_lazy_skip"] = lz["skip"]
     extra[f"{prefix}_lazy_alternating"] = lz["alt"]
     extra[f"{prefix}_lazy_courant05"] = lz["c05"]
@@ -467,8 +467,9 @@ def main():
                               ncoarse=9, npart=512 ** 3)),
         cfg("fr_n1_tsc_multigrid_256"),
         ("fr_n1_tsc_multigrid_256_lazy_skip", 8, 4,
-         lambda e: _lazy_task(e, "fr_n1_tsc_multigrid_256", iters_outer=3,
-                              theory="fr", solver_name="multigrid")),
+         lambda e: _lazy_task(e, "fr_n1_tsc_multigrid_256", scheme="tsc",
+                              iters_outer=3, theory="fr",
+                              solver_name="multigrid")),
         cfg("fr_n1_cic_multigrid_512"),
         cfg("newton_tsc_multigrid_256"),
         cfg("newton_tsc_fft_256"),

@@ -524,16 +524,17 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     # static (compiled) shape -- so instead of stepping until a shard
     # overflows (hard abort, _handle_overflow), watch the per-shard
     # occupancy from the tile starts (free: ts_d is already fetched) and
-    # re-distribute with a larger slack BEFORE any particle is at risk.
-    # Costs one host round-trip + one re-trace per growth event.
+    # grow the buffers BEFORE any particle is at risk. Growth is pure
+    # on-device sentinel padding (slab.grow_capacity: on a sorted step
+    # every particle already sits on its owning shard), so a growth
+    # event costs only the re-trace the new shapes need anyway.
     headroom = float(param.get("slab_rebalance_headroom", 0.9))
     # scalar on-device reduction (one int per check over the tunnel; a
     # full tile-starts fetch would be ~130 KB/step at 512^3)
     max_count_fn = jax.jit(lambda t: jnp.max(t.reshape(n_dev, -1)[:, -1]))
 
     def rebalance_if_needed(sorted_step: bool = True):
-        nonlocal pos_d, vel_d, acc_d, phi_d, u_d, ts_d, slack
-        nonlocal max_abs_acc, max_abs_vel, cum_drift
+        nonlocal pos_d, vel_d, acc_d, slack
         if not 0.0 < headroom < 1.0:
             return  # disabled
         if not sorted_step:
@@ -555,21 +556,13 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         )
         slack = slack_new
         param["slab_slack"] = slack  # restarts inherit the grown capacity
-        pos_np, vel_np = slab.gather_particles(cfg, n_dev, pos_d, vel_d)
-        p2, v2, a2, _, _, t2 = slab.distribute_particles(
-            mesh, cfg, pos_np, vel_np, slack
+        cap_new = slab.shard_capacity(cfg.npart, n_dev, slack)
+        pos_d, vel_d, acc_d = slab.grow_capacity(mesh, cap_new)(
+            pos_d, vel_d, acc_d
         )
+        # ts_d, phi_d, u_d, the drift bound and the acc/vel maxima are
+        # all untouched by padding: the next loop step resumes directly.
         step_fns.clear()  # capacity changed: new shapes, new programs
-        # zero-dt step rebuilds acc/ts at the new capacity; the converged
-        # phi/u grids carry over as solver initial guesses
-        pos_d, vel_d, acc_d, phi_d, u_d, ts_d, _, diag2 = step_fn(False)(
-            p2, v2, a2, phi_d, u_d, t2, dyn, np.float32(0)
-        )
-        _handle_overflow(param, int(diag2.overflow),
-                         "slab re-balancing re-distribution step")
-        cum_drift = 0.0
-        max_abs_acc = float(diag2.max_abs_acc)
-        max_abs_vel = float(diag2.max_abs_vel)
 
     rebalance_if_needed()
 

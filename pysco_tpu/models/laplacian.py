@@ -183,46 +183,57 @@ def packed_neighbour_sum(src: jax.Array, to_red: bool) -> jax.Array:
     )
 
 
-def _packed_sweep(red, black, h2b_r, h2b_b, rhs_r, rhs_b, fr):
-    """One full red-black GS sweep on packed half-lattices."""
-    invsix = F32(1.0 / 6.0)
-
-    tgt = (packed_neighbour_sum(black, True) - h2b_r) * invsix
-    if rhs_r is not None:
-        tgt = tgt + rhs_r
-    red = red + fr * (tgt - red)
-
-    tgt = (packed_neighbour_sum(red, False) - h2b_b) * invsix
-    if rhs_b is not None:
-        tgt = tgt + rhs_b
-    black = black + fr * (tgt - black)
+def _run_sweeps(sweep, red, black, n_smoothing: int):
+    """fori_loop on TPU (one stencil body in the HLO: compile time),
+    unrolled elsewhere (interpret-mode CPU is faster unrolled)."""
+    if jax.default_backend() == "tpu":
+        return jax.lax.fori_loop(0, n_smoothing, sweep, (red, black))
+    for _ in range(n_smoothing):
+        red, black = sweep(0, (red, black))
     return red, black
 
 
 def _smoothing_packed(x, b, n_smoothing: int, rhs=None,
-                      f_relax: float = F_RELAX):
-    """n_smoothing red-black sweeps with a single pack/unpack round trip."""
-    n = x.shape[0]
+                      f_relax: float = F_RELAX,
+                      pack=None, unpack=None, neighbour_sum=None):
+    """n_smoothing red-black sweeps with a single pack/unpack round trip.
+
+    The packing/neighbour primitives are injectable so the slab-sharded
+    smoother (parallel/slab_mg.smoothing_slab: global-parity packing,
+    x-neighbours via a 1-plane halo exchange) shares this driver instead
+    of duplicating it."""
+    pack = pack or pack_rb
+    unpack = unpack or unpack_rb
+    neighbour_sum = neighbour_sum or packed_neighbour_sum
+    n = x.shape[1]
     fr = F32(f_relax)
-    red, black = pack_rb(x)
-    h2b_r, h2b_b = pack_rb(F32(1.0 / (n * n)) * b)
-    rhs_r, rhs_b = pack_rb(rhs) if rhs is not None else (None, None)
+    invsix = F32(1.0 / 6.0)
+    red, black = pack(x)
+    h2b_r, h2b_b = pack(F32(1.0 / (n * n)) * b)
+    rhs_r, rhs_b = pack(rhs) if rhs is not None else (None, None)
 
     def sweep(_, carry):
-        return _packed_sweep(*carry, h2b_r, h2b_b, rhs_r, rhs_b, fr)
+        red, black = carry
+        tgt = (neighbour_sum(black, True) - h2b_r) * invsix
+        if rhs_r is not None:
+            tgt = tgt + rhs_r
+        red = red + fr * (tgt - red)
+        tgt = (neighbour_sum(red, False) - h2b_b) * invsix
+        if rhs_b is not None:
+            tgt = tgt + rhs_b
+        black = black + fr * (tgt - black)
+        return red, black
 
-    if jax.default_backend() == "tpu":
-        red, black = jax.lax.fori_loop(0, n_smoothing, sweep, (red, black))
-    else:
-        for _ in range(n_smoothing):
-            red, black = sweep(0, (red, black))
-    return unpack_rb(red, black)
+    red, black = _run_sweeps(sweep, red, black, n_smoothing)
+    return unpack(red, black)
 
 
 def packed_scalaron_smoothing(x, b, q, n_smoothing: int, rhs,
                               exact_root: bool, n_power: int,
                               newton_root, exact_solve,
-                              exact_scale: float) -> jax.Array:
+                              exact_scale: float,
+                              pack=None, unpack=None,
+                              neighbour_sum=None) -> jax.Array:
     """Shared packed red-black sweep driver for the f(R) scalaron
     (u^(n_power+1) + p u + q h^2 = 0): each colour update reads only the
     opposite half-lattice's n_power-th power and solves the root only
@@ -230,22 +241,28 @@ def packed_scalaron_smoothing(x, b, q, n_smoothing: int, rhs,
     (n_power=3) smoothers differ only in the neighbour power, the
     closed-form solver and how rhs enters the exact coefficient
     (d1 = 27 h^2 q - 27 rhs vs q_eff = h^2 q - rhs: ``exact_scale``),
-    so both delegate here (cubic.smoothing / quartic.smoothing)."""
+    so both delegate here (cubic.smoothing / quartic.smoothing); the
+    slab-sharded scalaron smoother injects its packing/halo primitives
+    (parallel/slab_mg._fas_ops_scalaron_slab) instead of duplicating
+    the driver."""
     import jax.numpy as jnp
 
+    pack = pack or pack_rb
+    unpack = unpack or unpack_rb
+    neighbour_sum = neighbour_sum or packed_neighbour_sum
     F64 = jnp.float64
-    n = x.shape[0]
+    n = x.shape[1]
     h2 = 1.0 / (n * n)
     fr = F32(F_RELAX)
     invsix = F32(1.0 / 6.0)
-    red, black = pack_rb(x)
-    hb_r, hb_b = pack_rb(F32(h2) * b)
+    red, black = pack(x)
+    hb_r, hb_b = pack(F32(h2) * b)
     if exact_root:
         base = exact_scale * h2 * jnp.asarray(q, F64)
         if rhs is None:
             coef_r = coef_b = base
         else:
-            r_r, r_b = pack_rb(rhs)
+            r_r, r_b = pack(rhs)
             coef_r = base - exact_scale * r_r.astype(F64)
             coef_b = base - exact_scale * r_b.astype(F64)
     else:
@@ -253,12 +270,12 @@ def packed_scalaron_smoothing(x, b, q, n_smoothing: int, rhs,
         if rhs is None:
             coef_r = coef_b = c0_q
         else:
-            r_r, r_b = pack_rb(rhs)
+            r_r, r_b = pack(rhs)
             coef_r, coef_b = c0_q - r_r, c0_q - r_b
 
     def update(x_half, other, hb, coef, to_red):
         xp = other * other if n_power == 2 else other * other * other
-        p = hb - invsix * packed_neighbour_sum(xp, to_red)
+        p = hb - invsix * neighbour_sum(xp, to_red)
         if exact_root:
             x_new = exact_solve(p, coef).astype(F32)
         else:
@@ -271,12 +288,8 @@ def packed_scalaron_smoothing(x, b, q, n_smoothing: int, rhs,
         black = update(black, red, hb_b, coef_b, False)
         return red, black
 
-    if jax.default_backend() == "tpu":
-        red, black = jax.lax.fori_loop(0, n_smoothing, sweep, (red, black))
-    else:
-        for _ in range(n_smoothing):
-            red, black = sweep(0, (red, black))
-    return unpack_rb(red, black)
+    red, black = _run_sweeps(sweep, red, black, n_smoothing)
+    return unpack(red, black)
 
 
 def gauss_seidel(x: jax.Array, b: jax.Array, f_relax: float = F_RELAX) -> jax.Array:

@@ -281,10 +281,20 @@ def migrate(pos, vel, m: int, planes_per_shard: int, cap: int, n_dev: int,
         return pos, vel, jnp.int32(0)
     go_right = is_real & (dest == (r + 1) % n_dev)
     if n_dev == 2:
-        # both neighbours are the same device ((r+1)%2 == (r-1)%2), so
-        # right/left masks would select the SAME particles and deliver
-        # each one twice. Send every leaver rightward only.
-        go_left = jnp.zeros_like(go_right)
+        # both neighbours are the same device ((r+1)%2 == (r-1)%2), so a
+        # dest-based right/left mask pair would select the SAME particles
+        # and deliver each one twice. Split leavers disjointly by which
+        # edge they crossed instead (signed plane distance from the slab
+        # base): right-edge crossers ride the right buffer, wrapped
+        # left-edge crossers the left one. Both land on the single
+        # neighbour exactly once AND each direction keeps its own
+        # cap-sized buffer (routing everything rightward would halve the
+        # effective migration capacity and trip the overflow abort on
+        # runs that fit).
+        leaver = is_real & (dest != r)
+        d_planes = (px - r * planes_per_shard) % m
+        go_right = leaver & (d_planes < 3 * planes_per_shard // 2)
+        go_left = leaver & ~go_right
     else:
         go_left = is_real & (dest == (r - 1) % n_dev)
     stays = is_real & (dest == r)
@@ -332,6 +342,33 @@ def shard_capacity(npart: int, n_dev: int, slack: float = 1.25) -> int:
 def migration_capacity(npart: int, ncells_1d: int, n_dev: int) -> int:
     """Per-direction migration buffer: ~4 mean plane populations."""
     return pallas_pm.padded_cols(max(1024, 4 * npart // (ncells_1d or 1)))
+
+
+def grow_capacity(mesh: Mesh, cap_new: int):
+    """Jitted on-device capacity growth for the sharded column state.
+
+    Re-balancing triggers only on sorted steps, when every particle
+    already sits on the shard that owns its plane with columns
+    [0, count) real (tile-sorted) and [count, cap) sentinels -- so
+    growing the per-shard buffer from cap to ``cap_new`` is pure local
+    padding: sentinel columns appended past every tile range. No host
+    round-trip (a gather + re-upload is ~4.3 GB over the ~15 MB/s axon
+    tunnel at 512^3), no collectives, and ``tile_starts`` stays valid
+    unchanged. Returns a function (pos, vel, acc) -> (pos, vel, acc)
+    at the new global shape (4, n_dev * cap_new)."""
+
+    def pad(pos, vel, acc):
+        k = cap_new - pos.shape[1]
+        sent = jnp.full((4, k), F32(pallas_pm.SENTINEL))
+        sent = sent.at[3].set(F32(0))
+        zero = jnp.zeros((4, k), F32)
+        return (jnp.concatenate([pos, sent], axis=1),
+                jnp.concatenate([vel, zero], axis=1),
+                jnp.concatenate([acc, zero], axis=1))
+
+    spec = (P(None, AXIS),) * 3
+    return jax.jit(shard_map(pad, mesh=mesh, in_specs=spec,
+                             out_specs=spec, check_vma=False))
 
 
 def mond_rhs_slab(phi_local, g0, mond_function: str, alpha, n_dev: int):

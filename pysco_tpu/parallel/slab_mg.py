@@ -184,32 +184,15 @@ def packed_neighbour_sum_slab(src: jax.Array, to_red: bool,
 def smoothing_slab(x, b, n_smoothing: int, n_dev: int, rhs=None,
                    f_relax: float = F_RELAX):
     """n_smoothing packed red-black sweeps (one pack/unpack round trip),
-    bit-identical to looping :func:`gauss_seidel_slab`."""
-    m = x.shape[1]
-    fr = F32(f_relax)
-    invsix = F32(1.0 / 6.0)
-    red, black = pack_rb_slab(x)
-    h2b_r, h2b_b = pack_rb_slab(F32(1.0 / (m * m)) * b)
-    rhs_r, rhs_b = pack_rb_slab(rhs) if rhs is not None else (None, None)
-
-    def sweep(_, carry):
-        red, black = carry
-        tgt = (packed_neighbour_sum_slab(black, True, n_dev) - h2b_r) * invsix
-        if rhs_r is not None:
-            tgt = tgt + rhs_r
-        red = red + fr * (tgt - red)
-        tgt = (packed_neighbour_sum_slab(red, False, n_dev) - h2b_b) * invsix
-        if rhs_b is not None:
-            tgt = tgt + rhs_b
-        black = black + fr * (tgt - black)
-        return red, black
-
-    if jax.default_backend() == "tpu":
-        red, black = lax.fori_loop(0, n_smoothing, sweep, (red, black))
-    else:
-        for _ in range(n_smoothing):
-            red, black = sweep(0, (red, black))
-    return unpack_rb_slab(red, black)
+    bit-identical to looping :func:`gauss_seidel_slab` -- the shared
+    driver (laplacian._smoothing_packed) with the slab packing/halo
+    primitives injected."""
+    return lap._smoothing_packed(
+        x, b, n_smoothing, rhs, f_relax,
+        pack=pack_rb_slab, unpack=unpack_rb_slab,
+        neighbour_sum=lambda src, to_red: packed_neighbour_sum_slab(
+            src, to_red, n_dev),
+    )
 
 
 def _gather_full(x_local: jax.Array) -> jax.Array:
@@ -375,60 +358,20 @@ def _fas_ops_scalaron_slab(q, n_dev: int, n_power: int,
 
     def smoothing(x, b, n, rhs=None):
         """n packed red-black sweeps (cubic.smoothing / quartic.smoothing
-        on the slab): each colour update reads only the opposite
-        half-lattice's n_power-th power and solves the root only for the
-        cells it updates -- bit-identical to looping ``gauss_seidel``."""
-        m = x.shape[1]
-        h2 = 1.0 / (m * m)
-        fr = F32(F_RELAX)
-        invsix = F32(1.0 / 6.0)
-        red, black = pack_rb_slab(x)
-        hb_r, hb_b = pack_rb_slab(F32(h2) * b)
-        if exact_root:
-            if n_power == 2:
-                base = 27.0 * h2 * jnp.asarray(q, jnp.float64)
-                scale = 27.0
-            else:
-                base = h2 * jnp.asarray(q, jnp.float64)
-                scale = 1.0
-            if rhs is None:
-                coef_r = coef_b = base
-            else:
-                r_r, r_b = pack_rb_slab(rhs)
-                coef_r = base - scale * r_r.astype(jnp.float64)
-                coef_b = base - scale * r_b.astype(jnp.float64)
-        else:
-            c0_q = F32(h2) * jnp.asarray(q, F32)
-            if rhs is None:
-                coef_r = coef_b = c0_q
-            else:
-                r_r, r_b = pack_rb_slab(rhs)
-                coef_r, coef_b = c0_q - r_r, c0_q - r_b
-
-        def update(x_half, other, hb, coef, to_red):
-            xp = other * other if n_power == 2 else other * other * other
-            p = hb - invsix * packed_neighbour_sum_slab(xp, to_red, n_dev)
-            if exact_root:
-                if n_power == 2:
-                    x_new = mod.solution_cubic_equation(p, coef).astype(F32)
-                else:
-                    x_new = mod.solution_quartic_equation(p, coef).astype(F32)
-            else:
-                x_new = mod._newton_root(x_half, p, coef)
-            return x_half + fr * (x_new - x_half)
-
-        def sweep(_, carry):
-            red, black = carry
-            red = update(red, black, hb_r, coef_r, True)
-            black = update(black, red, hb_b, coef_b, False)
-            return red, black
-
-        if jax.default_backend() == "tpu":
-            red, black = lax.fori_loop(0, n, sweep, (red, black))
-        else:
-            for _ in range(n):
-                red, black = sweep(0, (red, black))
-        return unpack_rb_slab(red, black)
+        on the slab): the shared scalaron driver
+        (laplacian.packed_scalaron_smoothing) with the slab packing/halo
+        primitives injected -- bit-identical to looping
+        ``gauss_seidel``."""
+        return lap.packed_scalaron_smoothing(
+            x, b, q, n, rhs, exact_root, n_power=n_power,
+            newton_root=mod._newton_root,
+            exact_solve=(mod.solution_cubic_equation if n_power == 2
+                         else mod.solution_quartic_equation),
+            exact_scale=27.0 if n_power == 2 else 1.0,
+            pack=pack_rb_slab, unpack=unpack_rb_slab,
+            neighbour_sum=lambda src, to_red: packed_neighbour_sum_slab(
+                src, to_red, n_dev),
+        )
 
     def restrict_residual(x, b, rhs=None):
         r = operator(x, b)

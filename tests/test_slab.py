@@ -336,6 +336,60 @@ def test_slab_step_small_meshes_match_single(n_dev):
     np.testing.assert_allclose(got_v[oi], want_v[oj], atol=1e-4, rtol=1e-3)
 
 
+def test_migrate_two_device_direction_split():
+    """n_dev==2: leavers are split disjointly by which edge they crossed,
+    so each direction keeps its own cap-sized buffer. Routing every
+    leaver through the single right buffer (the round-2 fix's first
+    form) halves effective migration capacity: cap right-edge crossers
+    plus cap left-edge crossers must migrate with lost == 0."""
+    n_dev, m = 2, 8
+    pps = m // n_dev
+    cap = 256
+    ncols = 2 * cap + 256
+    sent = pallas_pm.SENTINEL
+
+    def plane(p):
+        return (p + 0.5) / m  # NGP base == p exactly
+
+    pos = np.full((2, 4, ncols), sent, np.float32)
+    vel = np.zeros((2, 4, ncols), np.float32)
+    pos[:, 3, :] = 0.0
+    rng = np.random.default_rng(3)
+    # shard 0: cap leavers through the right edge (plane pps) + cap
+    # leavers through the wrapped left edge (plane m-1) + stayers.
+    pos[0, 0, :cap] = plane(pps)
+    pos[0, 0, cap:2 * cap] = plane(m - 1)
+    pos[0, 0, 2 * cap:2 * cap + 100] = plane(1)
+    pos[0, 1:3, :2 * cap + 100] = rng.random((2, 2 * cap + 100))
+    # shard 1: stayers only.
+    pos[1, 0, :50] = plane(pps + 1)
+    pos[1, 1:3, :50] = rng.random((2, 50))
+    n_real = 2 * cap + 100 + 50
+
+    mesh = slab.make_mesh(n_dev)
+    glob_p = jnp.asarray(np.concatenate(pos, axis=1))
+    glob_v = jnp.asarray(np.concatenate(vel, axis=1))
+
+    @jax.jit
+    @lambda f: shard_map(f, mesh=mesh,
+                         in_specs=(P(None, "dp"), P(None, "dp")),
+                         out_specs=(P(None, "dp"), P(None, "dp"), P("dp")),
+                         check_vma=False)
+    def run(p, v):
+        p2, v2, lost = slab.migrate(p, v, m, pps, cap, n_dev, "ngp")
+        return p2, v2, lost[None]
+
+    p2, v2, lost = run(glob_p, glob_v)
+    assert int(np.sum(lost)) == 0
+    p2 = np.array(p2).reshape(4, n_dev, -1).swapaxes(0, 1)
+    real = p2[:, 0] < pallas_pm.SENTINEL_MIN
+    assert int(real.sum()) == n_real  # nothing lost, nothing duplicated
+    # every real particle now sits on its destination shard
+    for r in range(n_dev):
+        px = np.floor(p2[r, 0][real[r]] * m).astype(int) % m
+        assert (px // pps == r).all()
+
+
 @pytest.mark.parametrize("cycle", ["F", "W"])
 def test_slab_multigrid_cycles_match_single(cycle):
     """multigrid_cycle=F/W honoured in slab mode (round 2 silently ran V):
@@ -527,9 +581,9 @@ def test_overflow_aborts_by_default():
 
 def test_run_slab_rebalance(tmp_path):
     """Proactive capacity re-balancing: with a tiny headroom threshold the
-    run grows the per-shard capacity (slack growth, re-trace, zero-dt
-    re-step) instead of ever risking the overflow abort -- and the
-    physics is unaffected: the final snapshot matches a run without
+    run grows the per-shard capacity (slack growth, on-device sentinel
+    padding, re-trace) instead of ever risking the overflow abort -- and
+    the physics is unaffected: the final snapshot matches a run without
     re-balancing."""
     import pysco_tpu
     from pysco_tpu.cosmo import write_power_spectrum_table
