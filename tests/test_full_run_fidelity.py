@@ -24,14 +24,14 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden_pk_32.json")
 Z_OUT = "[5, 1, 0]"
 
 
-def _run(tmp_path, engine, lazy):
+def _run(tmp_path, engine, lazy, parallel_mode=None):
     import pysco_tpu
     from pysco_tpu.cosmo import write_power_spectrum_table
 
     pk_file = tmp_path / "pk.dat"
     if not pk_file.exists():
         write_power_spectrum_table(str(pk_file))
-    base = tmp_path / f"run_{engine}_{int(lazy)}"
+    base = tmp_path / f"run_{engine}_{int(lazy)}_{parallel_mode or 'single'}"
     param = {
         "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
         "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
@@ -47,6 +47,8 @@ def _run(tmp_path, engine, lazy):
         "epsrel": 1e-2, "verbose": 0, "particle_engine": engine,
         "lazy_sort": lazy,
     }
+    if parallel_mode:
+        param["parallel_mode"] = parallel_mode
     pysco_tpu.run(param)
     pks = {}
     for f in sorted(base.glob("power/pk_*.dat")):
@@ -83,6 +85,32 @@ def test_full_run_pallas_lazy_vs_scatter(tmp_path):
     with open(GOLDEN) as f:
         golden = {k: np.array(v) for k, v in json.load(f).items()}
     _compare(pks_scatter, golden, 5e-3, "scatter vs golden")
+
+
+def _golden():
+    assert os.path.exists(GOLDEN), (
+        "golden file missing -- regenerate with "
+        "`python tests/test_full_run_fidelity.py regen`"
+    )
+    with open(GOLDEN) as f:
+        return {k: np.array(v) for k, v in json.load(f).items()}
+
+
+def test_full_run_slab_vs_golden(tmp_path):
+    """Full z=49 -> 0 horizon in slab distribution mode (grids AND
+    particles sharded over the 8-device mesh, lazy re-binning on): the
+    designed scaling mode must hold the same <0.1%-class P(k) fidelity
+    over hundreds of steps as the single-device paths, not just the
+    short-horizon slab equivalence tests."""
+    pks = _run(tmp_path, "pallas", True, parallel_mode="slab")
+    _compare(pks, _golden(), 2e-3, "slab-lazy vs golden")
+
+
+def test_full_run_replicated_vs_golden(tmp_path):
+    """Full horizon in replicated-grid distribution mode (particles
+    dp-sharded, psum'd deposit) against the committed golden P(k)."""
+    pks = _run(tmp_path, "pallas", True, parallel_mode="replicated")
+    _compare(pks, _golden(), 2e-3, "replicated vs golden")
 
 
 def _regen():
