@@ -92,7 +92,14 @@ def _dot(a, b, dims, mode: str):
     return d(ah, b - bh) + (d(a - ah, bh) + d(ah, bh))
 
 YB = 8  # y-block rows per tile
-Q = 512  # particle chunk size == DMA alignment quantum
+# Particle chunk size == DMA alignment quantum. The tile loop pays a
+# fixed per-chunk overhead (2 DMA round trips + one MXU dispatch), so a
+# larger Q amortises latency at the cost of more masked work on
+# tile-straddling chunks; env-tunable for on-chip sweeps (all kernels,
+# sort padding and capacities derive from this single constant at
+# import time -- set it before the first pysco_tpu import).
+Q = int(__import__("os").environ.get("PYSCO_TPU_CHUNK", "512"))
+assert Q % 256 == 0 and Q > 0, "PYSCO_TPU_CHUNK must be a positive x256"
 SENTINEL = 2.0  # tail-column x position (anything >= SENTINEL_MIN)
 SENTINEL_MIN = 1.5
 
