@@ -441,8 +441,15 @@ def main():
     # completed task the full cumulative table is reprinted, so a driver
     # timeout only ever costs the tasks not yet run (the last complete
     # JSON line wins). Keep a 30 s reserve for the final write.
-    def est_cost(nc, programs=1):
-        return cost_256 * (1.6 if nc > 8 else 1.2) * max(1, 0.6 * programs)
+    def est_cost(nc, programs=1, key=""):
+        # multigrid/FAS programs compile several times slower than the
+        # Newton-FFT headline the estimate scales from (measured ~9 min
+        # for one f(R) FAS step program at 64^3 on this toolchain)
+        theory_mult = 3.0 if ("fr_" in key or "mond" in key) else (
+            1.5 if "multigrid" in key else 1.0
+        )
+        return (cost_256 * (1.6 if nc > 8 else 1.2)
+                * max(1, 0.6 * programs) * theory_mult)
 
     def cfg_task(extra_, label, nc, npart, scheme, theory, solver_name,
                  iters):
@@ -482,7 +489,7 @@ def main():
     special = ("components", "components_512")
 
     for first_key, nc, programs, fn in tasks:
-        if _remaining() < est_cost(nc, programs) + 30:
+        if _remaining() < est_cost(nc, programs, first_key) + 30:
             if first_key not in special:
                 extra[first_key] = "skipped (budget)"
             continue
@@ -496,10 +503,11 @@ def main():
                 )
             else:
                 fn(extra)
+                unit = est_cost(nc, programs, first_key) / max(cost_256,
+                                                               1e-9)
                 cost_256 = max(
                     cost_256,
-                    (time.perf_counter() - t_cfg)
-                    / ((1.6 if nc > 8 else 1.2) * max(1, 0.6 * programs)),
+                    (time.perf_counter() - t_cfg) / max(unit, 1e-9),
                 )
         except Exception as e:  # record the failure, keep going
             if first_key == "components":
