@@ -159,10 +159,22 @@ def run(param) -> None:
     from . import ic_device
 
     device_ic = parallel_mode == "single" and ic_device.supported(param)
+    slab_state = None
     if device_ic:
         # LPT algebra on the TPU (only the reference-exact RNG draw stays
         # on the host); yields the column state directly
         position, velocity = ic_device.generate_lpt(param, tables)
+    elif parallel_mode == "slab":
+        from .parallel import ic_slab, slab as slab_mod
+
+        mesh = slab_mod.make_mesh()
+        if ic_slab.supported(param, mesh.devices.size):
+            # sharded LPT algebra: nothing larger than 1/D of a grid per
+            # device, and the particles never leave their owning shard
+            slab_state = ic_slab.generate_lpt_slab(param, tables, mesh)
+            position = velocity = None
+        else:
+            position, velocity = ic.generate(param, tables)
     else:
         # note: a restart restores parameters from the snapshot attrs, so
         # cfg must only be built after this call
@@ -191,7 +203,7 @@ def run(param) -> None:
             )
         return _run_slab(
             param, tables, cfg, integrator, pk_mode, position, velocity,
-            z_out,
+            z_out, state=slab_state,
         )
     if parallel_mode == "replicated":
         return _run_replicated(
@@ -464,10 +476,11 @@ def _run_replicated(param, tables, cfg, integrator, pk_mode, position,
 
 
 def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
-              z_out) -> None:
+              z_out, state=None) -> None:
     """Slab-decomposed run loop: grids AND particles sharded over every
     attached device (parallel/slab.py). Newton/parametrized + fft solvers.
-    """
+    ``state`` short-circuits the host-side distribution when the ICs were
+    generated sharded on device (parallel/ic_slab.py)."""
     from .parallel import slab
 
     mesh = slab.make_mesh()
@@ -475,7 +488,9 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
     logging.warning("slab mode: %d devices, %d planes each",
                     n_dev, cfg.ncells_1d // n_dev)
     slack = float(param.get("slab_slack", 1.25))
-    state = slab.distribute_particles(mesh, cfg, position, velocity, slack)
+    if state is None:
+        state = slab.distribute_particles(mesh, cfg, position, velocity,
+                                          slack)
     step_fns = {}
 
     def step_fn(save_pk, first_call=False, presorted=False):

@@ -1,0 +1,405 @@
+"""Slab-sharded on-device LPT initial conditions.
+
+:mod:`pysco_tpu.ic_device` runs the LPT algebra on one chip; this module
+is its ``parallel_mode = slab`` counterpart: the white-noise half grid
+(host, reference-exact RNG -- initial_conditions.py:585-732) is uploaded
+directly in the sharded pencil layout and every inverse Laplacian,
+spectral gradient, Hessian product and lattice initialisation runs
+distributed over the device mesh through the :mod:`pysco_tpu.parallel.slab`
+pencil-FFT primitives (one ``all_to_all`` per 3D FFT). Nothing larger
+than ``1/D`` of a grid ever exists per device, so IC generation scales to
+box sizes where the single-chip path would OOM (1024^3: ~30 GB of column
+state + ~4 GB k-grids vs 16 GB HBM) -- the step itself already scales
+this way, this closes the last single-chip stage.
+
+The maths mirrors :mod:`pysco_tpu.ic_device` operation for operation
+(same op order, same float32 constants; reference
+initial_conditions.py:976-1680); tests/test_ic_slab.py checks the two
+paths agree on the 8-device virtual CPU mesh.
+
+Particles come out in the per-shard column layout of
+:func:`pysco_tpu.parallel.slab.distribute_particles` (each shard holds
+its own x-planes of the lattice), so the run loop's first sorted step
+(migrate + tile sort) takes over directly -- scheme-base/displacement
+stragglers are at most one plane from their owner, exactly what
+``migrate`` handles.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax, shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import ic as ic_host
+from ..ops import mesh as mesh_ops, pallas_pm
+from . import slab
+
+AXIS = slab.AXIS
+F32 = jnp.float32
+
+
+# ---------------------------------------------------------------------------
+# Spectral kernels on the pencil layout (fourier.py analogues)
+# ---------------------------------------------------------------------------
+
+def _hessian_slab(xk, ij, m):
+    """-4 pi^2 k_i k_j x on the (M, M/D, M/2+1) pencil (fourier.hessian)."""
+    ks = slab._wavenumbers_slab(m, xk.shape[1])
+    return -ks[ij[0]] * ks[ij[1]] * F32(4 * jnp.pi ** 2) * xk
+
+
+def _sum_of_hessian_slab(xk, ij1, ij2, m):
+    ks = slab._wavenumbers_slab(m, xk.shape[1])
+    return -(ks[ij1[0]] * ks[ij1[1]] + ks[ij2[0]] * ks[ij2[1]]) * F32(
+        4 * jnp.pi ** 2
+    ) * xk
+
+
+def _diff_of_hessian_slab(xk, ij1, ij2, m):
+    ks = slab._wavenumbers_slab(m, xk.shape[1])
+    return -(ks[ij1[0]] * ks[ij1[1]] - ks[ij2[0]] * ks[ij2[1]]) * F32(
+        4 * jnp.pi ** 2
+    ) * xk
+
+
+def _ihess(xk, ij, m, n_dev):
+    return slab.irfft3_slab(_hessian_slab(xk, ij, m), m)
+
+
+def _psi_components_slab(src_k, m, n_dev):
+    """Spectral gradient -> real-space slabs, one component at a time
+    (ic_device._psi_components on the pencil layout)."""
+    ks = slab._wavenumbers_slab(m, src_k.shape[1])
+    tmp = jnp.complex64(2j * jnp.pi) * src_k
+    return tuple(slab.irfft3_slab(tmp * ks[a], m) for a in range(3))
+
+
+# ---------------------------------------------------------------------------
+# LPT sources (ic_device.compute_* without the dealias pad: the 3/2 pad
+# re-shards the pencil y axis, so dealiased_ICS falls back to the
+# single-chip/host path in supported())
+# ---------------------------------------------------------------------------
+
+def _rhs_2ndorder(p1, m, n_dev):
+    rhs = _ihess(p1, (0, 0), m, n_dev) * slab.irfft3_slab(
+        _sum_of_hessian_slab(p1, (1, 1), (2, 2), m), m
+    )
+    rhs += _ihess(p1, (1, 1), m, n_dev) * _ihess(p1, (2, 2), m, n_dev)
+    rhs -= _ihess(p1, (0, 1), m, n_dev) ** 2
+    rhs -= _ihess(p1, (0, 2), m, n_dev) ** 2
+    rhs -= _ihess(p1, (1, 2), m, n_dev) ** 2
+    return rhs
+
+
+def _rhs_3a(p1, m, n_dev):
+    h01 = _ihess(p1, (0, 1), m, n_dev)
+    h02 = _ihess(p1, (0, 2), m, n_dev)
+    h12 = _ihess(p1, (1, 2), m, n_dev)
+    h00 = _ihess(p1, (0, 0), m, n_dev)
+    h11 = _ihess(p1, (1, 1), m, n_dev)
+    h22 = _ihess(p1, (2, 2), m, n_dev)
+    rhs = h00 * h11 * h22
+    rhs += F32(2) * h01 * h02 * h12
+    rhs -= h12 * h12 * h00
+    rhs -= h02 * h02 * h11
+    rhs -= h01 * h01 * h22
+    return rhs
+
+
+def _rhs_3b(p1, p2, m, n_dev):
+    half = F32(0.5)
+    rhs = half * _ihess(p1, (0, 0), m, n_dev) * slab.irfft3_slab(
+        _sum_of_hessian_slab(p2, (1, 1), (2, 2), m), m
+    )
+    rhs += half * _ihess(p1, (1, 1), m, n_dev) * slab.irfft3_slab(
+        _sum_of_hessian_slab(p2, (0, 0), (2, 2), m), m
+    )
+    rhs += half * _ihess(p1, (2, 2), m, n_dev) * slab.irfft3_slab(
+        _sum_of_hessian_slab(p2, (0, 0), (1, 1), m), m
+    )
+    rhs -= _ihess(p1, (0, 1), m, n_dev) * _ihess(p2, (0, 1), m, n_dev)
+    rhs -= _ihess(p1, (0, 2), m, n_dev) * _ihess(p2, (0, 2), m, n_dev)
+    rhs -= _ihess(p1, (1, 2), m, n_dev) * _ihess(p2, (1, 2), m, n_dev)
+    return rhs
+
+
+def _rhs_3c(p1, p2, m, n_dev, component):
+    d = _diff_of_hessian_slab
+    if component == 0:
+        rhs = _ihess(p1, (0, 2), m, n_dev) * _ihess(p2, (0, 1), m, n_dev)
+        rhs -= _ihess(p2, (0, 2), m, n_dev) * _ihess(p1, (0, 1), m, n_dev)
+        rhs += _ihess(p1, (1, 2), m, n_dev) * slab.irfft3_slab(
+            d(p2, (1, 1), (2, 2), m), m
+        )
+        rhs -= _ihess(p2, (1, 2), m, n_dev) * slab.irfft3_slab(
+            d(p1, (1, 1), (2, 2), m), m
+        )
+    elif component == 1:
+        rhs = _ihess(p1, (0, 1), m, n_dev) * _ihess(p2, (1, 2), m, n_dev)
+        rhs -= _ihess(p2, (0, 1), m, n_dev) * _ihess(p1, (1, 2), m, n_dev)
+        rhs += _ihess(p1, (0, 2), m, n_dev) * slab.irfft3_slab(
+            d(p2, (2, 2), (0, 0), m), m
+        )
+        rhs -= _ihess(p2, (0, 2), m, n_dev) * slab.irfft3_slab(
+            d(p1, (2, 2), (0, 0), m), m
+        )
+    else:
+        rhs = _ihess(p1, (1, 2), m, n_dev) * _ihess(p2, (0, 2), m, n_dev)
+        rhs -= _ihess(p2, (1, 2), m, n_dev) * _ihess(p1, (0, 2), m, n_dev)
+        rhs += _ihess(p1, (0, 1), m, n_dev) * slab.irfft3_slab(
+            d(p2, (0, 0), (1, 1), m), m
+        )
+        rhs -= _ihess(p2, (0, 1), m, n_dev) * slab.irfft3_slab(
+            d(p1, (0, 0), (1, 1), m), m
+        )
+    return rhs
+
+
+# ---------------------------------------------------------------------------
+# Jitted sharded stages (ic_device stages under shard_map)
+# ---------------------------------------------------------------------------
+
+def _add_nlpt_cols(position, velocity, src_k, m, n_dev, n_local,
+                   dplus_n, fH_n):
+    """psi = grad(src) accumulated onto the shard's real columns."""
+    dplus_n = F32(dplus_n)
+    dfH = F32(dplus_n) * F32(fH_n)
+    psis = _psi_components_slab(src_k, m, n_dev)
+    for a in range(3):
+        pa = psis[a].reshape(-1)
+        position = position.at[a, :n_local].add(dplus_n * pa)
+        velocity = velocity.at[a, :n_local].add(dfH * pa)
+    return position, velocity
+
+
+def _make_stage_1lpt(mesh, m, n_dev, cap):
+    """density_k pencil -> (phi1_k pencil, per-shard lattice columns)."""
+    n_local = (m // n_dev) * m * m  # lattice sites per shard
+
+    def fn(dk_pair, offset, dplus_1, fH_1):
+        density_k = lax.complex(dk_pair[..., 0], dk_pair[..., 1])
+        phi1_k = slab.inverse_laplacian_slab(density_k, m, 0)
+        r = lax.axis_index(AXIS)
+        planes = m // n_dev
+        h = F32(1.0 / m)
+        dplus_1 = F32(dplus_1)
+        dfH = F32(dplus_1) * F32(fH_1)
+        psis = _psi_components_slab(phi1_k, m, n_dev)
+        cx = ((r * planes + jnp.arange(planes, dtype=F32)) * h + offset)
+        cyz = jnp.arange(m, dtype=F32) * h + offset
+        coords = [cx.reshape(planes, 1, 1), cyz.reshape(1, m, 1),
+                  cyz.reshape(1, 1, m)]
+        pos = jnp.full((4, cap), F32(pallas_pm.SENTINEL))
+        pos = pos.at[3].set(F32(0))
+        vel = jnp.zeros((4, cap), F32)
+        for a in range(3):
+            pa = jnp.broadcast_to(coords[a] - dplus_1 * psis[a],
+                                  (planes, m, m)).reshape(-1)
+            pos = pos.at[a, :n_local].set(pa)
+            vel = vel.at[a, :n_local].set((-dfH * psis[a]).reshape(-1))
+        return phi1_k, pos, vel
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, AXIS, None, None), P(), P(), P()),
+        out_specs=(P(None, AXIS, None), P(None, AXIS), P(None, AXIS)),
+        check_vma=False,
+    ))
+
+
+def _make_stage_2lpt(mesh, m, n_dev, cap):
+    n_local = (m // n_dev) * m * m
+
+    def fn(phi1_k, position, velocity, dplus_2, fH_2):
+        rhs2 = _rhs_2ndorder(phi1_k, m, n_dev)
+        phi2_k = slab.inverse_laplacian_slab(
+            slab.rfft3_slab(rhs2, n_dev), m, 0
+        )
+        position, velocity = _add_nlpt_cols(
+            position, velocity, phi2_k, m, n_dev, n_local, dplus_2, fH_2
+        )
+        return phi2_k, position, velocity
+
+    spec_k = P(None, AXIS, None)
+    spec_c = P(None, AXIS)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec_k, spec_c, spec_c, P(), P()),
+        out_specs=(spec_k, spec_c, spec_c),
+        check_vma=False,
+    ), donate_argnums=(1, 2))
+
+
+def _make_stage_3lpt(mesh, m, n_dev, cap, term):
+    n_local = (m // n_dev) * m * m
+
+    def fn(phi1_k, phi2_k, position, velocity, dplus_n, fH_n):
+        if term == "a":
+            rhs = _rhs_3a(phi1_k, m, n_dev)
+        elif term == "b":
+            rhs = _rhs_3b(phi1_k, phi2_k, m, n_dev)
+        else:
+            rhs = _rhs_3c(phi1_k, phi2_k, m, n_dev, "xyz".index(term[1]))
+        src_k = slab.inverse_laplacian_slab(
+            slab.rfft3_slab(rhs, n_dev), m, 0
+        )
+        return _add_nlpt_cols(
+            position, velocity, src_k, m, n_dev, n_local, dplus_n, fH_n
+        )
+
+    spec_k = P(None, AXIS, None)
+    spec_c = P(None, AXIS)
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec_k, spec_k, spec_c, spec_c, P(), P()),
+        out_specs=(spec_c, spec_c),
+        check_vma=False,
+    ), donate_argnums=(2, 3))
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+def supported(param, n_dev: int) -> bool:
+    """Slab device ICs cover the non-dealiased LPT path when the lattice
+    divides evenly over the mesh (the Orszag 3/2 pad re-shards the pencil
+    y axis; dealiased runs fall back to the host/single-chip generator).
+    The particle lattice must equal-split and the column chunk quantum
+    must divide the per-shard lattice so the columns match the
+    distribute_particles layout."""
+    ics = param["initial_conditions"]
+    if isinstance(ics, (int, np.integer)) and not isinstance(ics, bool):
+        return False
+    if "lpt" not in str(ics).casefold():
+        return False
+    if bool(param["dealiased_ICS"]):
+        return False
+    if not bool(param.get("ic_device", True)):
+        return False
+    if str(param.get("particle_engine", "pallas")).casefold() != "pallas":
+        return False  # the slab step itself requires the pallas engine
+    n_p = round(float(param["npart"]) ** (1.0 / 3.0))
+    return (
+        n_p ** 3 == int(param["npart"])
+        and n_p % (2 * n_dev) == 0
+        and int(param["ncoarse"]) >= 1
+        and 2 ** int(param["ncoarse"]) % n_dev == 0
+    )
+
+
+def generate_lpt_slab(param, tables, mesh: Mesh):
+    """Slab-sharded 1/2/3LPT; returns the full distributed state tuple of
+    :func:`pysco_tpu.parallel.slab.distribute_particles` (pos, vel, acc,
+    phi, u, tile_starts) without the particles ever being gathered."""
+    from time import perf_counter
+
+    from .. import solver as solver_mod
+    from ..utils.units import PC_M
+
+    t0 = perf_counter()
+    n_dev = mesh.devices.size
+    order = str(param["initial_conditions"]).casefold()
+    if order not in ("1lpt", "2lpt", "3lpt"):
+        raise ValueError(
+            f"initial_conditions={order}, should be 1LPT, 2LPT or 3LPT"
+        )
+    a_start = 1.0 / (1 + param["z_start"])
+    lna_start = np.log(a_start)
+    logging.warning("z_start=%s (slab device IC path, %d devices)",
+                    param["z_start"], n_dev)
+    Hz = tables[2](lna_start)
+    Hz = Hz * param["unit_t"] / (1e3 * PC_M)  # km/s/Mpc -> box units
+
+    npart = int(param["npart"])
+    n_p = round(npart ** (1.0 / 3.0))
+    slack = float(param.get("slab_slack", 1.25))
+    cap = slab.shard_capacity(npart, n_dev, slack)
+
+    # host: reference-exact RNG stream -> white noise x transfer, then
+    # upload straight into the sharded pencil layout (y split; axon
+    # rejects complex64 uploads, so real/imag stack)
+    dk_host = ic_host.generate_density_fourier(param)
+    shard_k4 = NamedSharding(mesh, P(None, AXIS, None, None))
+    density_k = jax.device_put(
+        np.stack((dk_host.real, dk_host.imag), axis=-1).astype(np.float32),
+        shard_k4,
+    )
+    del dk_host
+
+    dplus_1_z0 = tables[3](0)
+    dplus_1 = np.float32(tables[3](lna_start) / dplus_1_z0)
+    fH_1 = np.float32(tables[4](lna_start) * Hz)
+    offset = np.float32(
+        0.5 / n_p if str(param["position_ICS"]).casefold() == "center"
+        else 0.0
+    )
+    phi1_k, position, velocity = _make_stage_1lpt(mesh, n_p, n_dev, cap)(
+        density_k, offset, dplus_1, fH_1
+    )
+    del density_k
+
+    if order != "1lpt":
+        logging.warning("Compute 2LPT contribution (slab)")
+        dplus_2 = np.float32(tables[5](lna_start) / dplus_1_z0 ** 2)
+        fH_2 = np.float32(tables[6](lna_start) * Hz)
+        phi2_k, position, velocity = _make_stage_2lpt(
+            mesh, n_p, n_dev, cap
+        )(phi1_k, position, velocity, dplus_2, fH_2)
+        if order == "3lpt":
+            terms = (
+                ("a", -np.float32(tables[7](lna_start) / dplus_1_z0 ** 3),
+                 np.float32(tables[8](lna_start) * Hz)),
+                ("b", -np.float32(tables[9](lna_start) / dplus_1_z0 ** 3),
+                 np.float32(tables[10](lna_start) * Hz)),
+                ("cx", -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
+                 np.float32(tables[12](lna_start) * Hz)),
+                ("cy", -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
+                 np.float32(tables[12](lna_start) * Hz)),
+                ("cz", -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
+                 np.float32(tables[12](lna_start) * Hz)),
+            )
+            for term, dplus_n, fH_n in terms:
+                logging.warning("Compute 3LPT %s contribution (slab)", term)
+                position, velocity = _make_stage_3lpt(
+                    mesh, n_p, n_dev, cap, term
+                )(phi1_k, phi2_k, position, velocity, dplus_n, fH_n)
+        del phi2_k
+    del phi1_k
+
+    position = jax.jit(mesh_ops.periodic_wrap)(position)
+    float(jnp.sum(position[:1, :8]))  # value-fetch barrier (axon)
+    logging.warning("Slab device IC generation: %.1f s",
+                    perf_counter() - t0)
+
+    cfg = solver_mod.config_from_param(param)
+    if bool(param.get("write_initial_snapshot", True)):
+        pos_np, vel_np = slab.gather_particles(
+            cfg, n_dev, position, velocity
+        )
+        ic_host.finalise_initial_conditions(pos_np, vel_np, param)
+        logging.warning("Slab device IC + snapshot write: %.1f s",
+                        perf_counter() - t0)
+
+    # rest of the distribute_particles state (zeros; the run loop's
+    # first sorted step migrates scheme-base/displacement stragglers
+    # and builds the tile starts)
+    m = cfg.ncells_1d
+    shard_p = NamedSharding(mesh, P(None, AXIS))
+    shard_f = NamedSharding(mesh, P(AXIS))
+    acc = jax.device_put(jnp.zeros((4, n_dev * cap), F32), shard_p)
+    phi = jax.device_put(jnp.zeros((m, m, m), F32), shard_f)
+    if cfg.theory in ("fr", "mond"):
+        u = jax.device_put(jnp.zeros((m, m, m), F32), shard_f)
+    else:
+        u = jax.device_put(jnp.zeros((n_dev, 1, 1), F32), shard_f)
+    nt_local = (m // n_dev) * (m // pallas_pm.YB) + 1
+    ts = jax.device_put(jnp.zeros((n_dev * nt_local,), jnp.int32),
+                        NamedSharding(mesh, P(AXIS)))
+    return position, velocity, acc, phi, u, ts
