@@ -81,9 +81,56 @@ def _psi_components_slab(src_k, m, n_dev):
 
 
 # ---------------------------------------------------------------------------
-# LPT sources (ic_device.compute_* without the dealias pad: the 3/2 pad
-# re-shards the pencil y axis, so dealiased_ICS falls back to the
-# single-chip/host path in supported())
+# Orszag 3/2 dealiasing on the sharded pencil (ic_device.pad_k/trim_k).
+#
+# The pad moves k-modes across shard boundaries on the (sharded) y axis,
+# which a per-shard shard_map body cannot express -- so pad/trim run as
+# GLOBAL jitted slice assemblies with a pencil output-sharding
+# constraint and GSPMD inserts the collectives. The LPT source algebra
+# then runs through the same shard_map stages at the padded size.
+# ---------------------------------------------------------------------------
+
+def _pad_pencil(mesh, m):
+    """Zero-pad a sharded rfft pencil to 3M/2 (ic_device.pad_k)."""
+    ne, m2 = 3 * m // 2, m // 2
+    out_s = NamedSharding(mesh, P(None, AXIS, None))
+
+    def f(x):
+        out = jnp.zeros((ne, ne, ne // 2 + 1), x.dtype)
+        out = out.at[:m2, :m2, :m2].set(x[:m2, :m2, :m2])
+        out = out.at[-m2 + 1:, :m2, :m2].set(x[-m2 + 1:, :m2, :m2])
+        out = out.at[:m2, -m2 + 1:, :m2].set(x[:m2, -m2 + 1:, :m2])
+        out = out.at[-m2 + 1:, -m2 + 1:, :m2].set(
+            x[-m2 + 1:, -m2 + 1:, :m2]
+        )
+        return lax.with_sharding_constraint(out, out_s)
+
+    return jax.jit(f)
+
+
+def _trim_pencil(mesh, me, rescale):
+    """Inverse of :func:`_pad_pencil` with the real-space rescale folded
+    in (linear, so it commutes with the k-space trim)."""
+    m = 2 * me // 3
+    m2 = m // 2
+    out_s = NamedSharding(mesh, P(None, AXIS, None))
+
+    def f(x):
+        out = jnp.zeros((m, m, m2 + 1), x.dtype)
+        out = out.at[:m2, :m2, :m2].set(x[:m2, :m2, :m2])
+        out = out.at[-m2 + 1:, :m2, :m2].set(x[-m2 + 1:, :m2, :m2])
+        out = out.at[:m2, -m2 + 1:, :m2].set(x[:m2, -m2 + 1:, :m2])
+        out = out.at[-m2 + 1:, -m2 + 1:, :m2].set(
+            x[-m2 + 1:, -m2 + 1:, :m2]
+        )
+        return lax.with_sharding_constraint(out * F32(rescale), out_s)
+
+    return jax.jit(f)
+
+
+# ---------------------------------------------------------------------------
+# LPT sources (ic_device.compute_* on the pencil layout; when dealiasing,
+# the caller passes the PADDED pencils and m = 3n/2)
 # ---------------------------------------------------------------------------
 
 def _rhs_2ndorder(p1, m, n_dev):
@@ -213,54 +260,62 @@ def _make_stage_1lpt(mesh, m, n_dev, cap):
     ))
 
 
-def _make_stage_2lpt(mesh, m, n_dev, cap):
+def _make_rhs_k(mesh, m, n_dev, term):
+    """LPT source in k-space at pencil size ``m`` (the PADDED size when
+    dealiasing): pencils in, rfft3_slab(real rhs) out."""
+    spec_k = P(None, AXIS, None)
+
+    if term == "2":
+        def fn(p1):
+            return slab.rfft3_slab(_rhs_2ndorder(p1, m, n_dev), n_dev)
+
+        in_specs = (spec_k,)
+    elif term == "a":
+        def fn(p1, p2):
+            del p2
+            return slab.rfft3_slab(_rhs_3a(p1, m, n_dev), n_dev)
+
+        in_specs = (spec_k, spec_k)
+    elif term == "b":
+        def fn(p1, p2):
+            return slab.rfft3_slab(_rhs_3b(p1, p2, m, n_dev), n_dev)
+
+        in_specs = (spec_k, spec_k)
+    else:
+        comp = "xyz".index(term[1])
+
+        def fn(p1, p2):
+            return slab.rfft3_slab(_rhs_3c(p1, p2, m, n_dev, comp), n_dev)
+
+        in_specs = (spec_k, spec_k)
+
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=spec_k, check_vma=False))
+
+
+def _make_apply_src(mesh, m, n_dev, cap, return_src_k):
+    """src_k = invlap(rhs_k); psi = grad(src) added to the shard columns
+    (ic_device._stage_2lpt / _stage_3lpt_term tails)."""
     n_local = (m // n_dev) * m * m
 
-    def fn(phi1_k, position, velocity, dplus_2, fH_2):
-        rhs2 = _rhs_2ndorder(phi1_k, m, n_dev)
-        phi2_k = slab.inverse_laplacian_slab(
-            slab.rfft3_slab(rhs2, n_dev), m, 0
-        )
+    def fn(rhs_k, position, velocity, dplus_n, fH_n):
+        src_k = slab.inverse_laplacian_slab(rhs_k, m, 0)
         position, velocity = _add_nlpt_cols(
-            position, velocity, phi2_k, m, n_dev, n_local, dplus_2, fH_2
+            position, velocity, src_k, m, n_dev, n_local, dplus_n, fH_n
         )
-        return phi2_k, position, velocity
+        if return_src_k:
+            return src_k, position, velocity
+        return position, velocity
 
     spec_k = P(None, AXIS, None)
     spec_c = P(None, AXIS)
+    out = ((spec_k, spec_c, spec_c) if return_src_k
+           else (spec_c, spec_c))
     return jax.jit(shard_map(
         fn, mesh=mesh,
         in_specs=(spec_k, spec_c, spec_c, P(), P()),
-        out_specs=(spec_k, spec_c, spec_c),
-        check_vma=False,
+        out_specs=out, check_vma=False,
     ), donate_argnums=(1, 2))
-
-
-def _make_stage_3lpt(mesh, m, n_dev, cap, term):
-    n_local = (m // n_dev) * m * m
-
-    def fn(phi1_k, phi2_k, position, velocity, dplus_n, fH_n):
-        if term == "a":
-            rhs = _rhs_3a(phi1_k, m, n_dev)
-        elif term == "b":
-            rhs = _rhs_3b(phi1_k, phi2_k, m, n_dev)
-        else:
-            rhs = _rhs_3c(phi1_k, phi2_k, m, n_dev, "xyz".index(term[1]))
-        src_k = slab.inverse_laplacian_slab(
-            slab.rfft3_slab(rhs, n_dev), m, 0
-        )
-        return _add_nlpt_cols(
-            position, velocity, src_k, m, n_dev, n_local, dplus_n, fH_n
-        )
-
-    spec_k = P(None, AXIS, None)
-    spec_c = P(None, AXIS)
-    return jax.jit(shard_map(
-        fn, mesh=mesh,
-        in_specs=(spec_k, spec_k, spec_c, spec_c, P(), P()),
-        out_specs=(spec_c, spec_c),
-        check_vma=False,
-    ), donate_argnums=(2, 3))
 
 
 # ---------------------------------------------------------------------------
@@ -268,18 +323,15 @@ def _make_stage_3lpt(mesh, m, n_dev, cap, term):
 # ---------------------------------------------------------------------------
 
 def supported(param, n_dev: int) -> bool:
-    """Slab device ICs cover the non-dealiased LPT path when the lattice
-    divides evenly over the mesh (the Orszag 3/2 pad re-shards the pencil
-    y axis; dealiased runs fall back to the host/single-chip generator).
-    The particle lattice must equal-split and the column chunk quantum
-    must divide the per-shard lattice so the columns match the
-    distribute_particles layout."""
+    """Slab device ICs cover the LPT path (dealiased included: the
+    Orszag pad/trim run as global jitted slice assemblies under GSPMD)
+    when the particle lattice equal-splits over the mesh -- n_p a
+    multiple of 2*D keeps the pencil layout valid at both n_p and the
+    padded 3*n_p/2."""
     ics = param["initial_conditions"]
     if isinstance(ics, (int, np.integer)) and not isinstance(ics, bool):
         return False
     if "lpt" not in str(ics).casefold():
-        return False
-    if bool(param["dealiased_ICS"]):
         return False
     if not bool(param.get("ic_device", True)):
         return False
@@ -346,31 +398,51 @@ def generate_lpt_slab(param, tables, mesh: Mesh):
     del density_k
 
     if order != "1lpt":
+        dealias = bool(param["dealiased_ICS"])
+        me = 3 * n_p // 2 if dealias else n_p
+        pad = _pad_pencil(mesh, n_p) if dealias else (lambda x: x)
+
+        def rhs_k(term, rescale, *pencils):
+            rk = _make_rhs_k(mesh, me, n_dev, term)(*pencils)
+            if dealias:
+                rk = _trim_pencil(mesh, me, rescale)(rk)
+            return rk
+
         logging.warning("Compute 2LPT contribution (slab)")
         dplus_2 = np.float32(tables[5](lna_start) / dplus_1_z0 ** 2)
         fH_2 = np.float32(tables[6](lna_start) * Hz)
-        phi2_k, position, velocity = _make_stage_2lpt(
-            mesh, n_p, n_dev, cap
-        )(phi1_k, position, velocity, dplus_2, fH_2)
+        p1e = pad(phi1_k)
+        phi2_k, position, velocity = _make_apply_src(
+            mesh, n_p, n_dev, cap, True
+        )(rhs_k("2", 1.5 ** 3, p1e), position, velocity, dplus_2, fH_2)
         if order == "3lpt":
             terms = (
-                ("a", -np.float32(tables[7](lna_start) / dplus_1_z0 ** 3),
+                ("a", 1.5 ** 6,
+                 -np.float32(tables[7](lna_start) / dplus_1_z0 ** 3),
                  np.float32(tables[8](lna_start) * Hz)),
-                ("b", -np.float32(tables[9](lna_start) / dplus_1_z0 ** 3),
+                ("b", 1.5 ** 3,
+                 -np.float32(tables[9](lna_start) / dplus_1_z0 ** 3),
                  np.float32(tables[10](lna_start) * Hz)),
-                ("cx", -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
+                ("cx", 1.5 ** 3,
+                 -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
                  np.float32(tables[12](lna_start) * Hz)),
-                ("cy", -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
+                ("cy", 1.5 ** 3,
+                 -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
                  np.float32(tables[12](lna_start) * Hz)),
-                ("cz", -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
+                ("cz", 1.5 ** 3,
+                 -np.float32(tables[11](lna_start) / dplus_1_z0 ** 3),
                  np.float32(tables[12](lna_start) * Hz)),
             )
-            for term, dplus_n, fH_n in terms:
+            p2e = pad(phi2_k)
+            apply_src = _make_apply_src(mesh, n_p, n_dev, cap, False)
+            for term, rescale, dplus_n, fH_n in terms:
                 logging.warning("Compute 3LPT %s contribution (slab)", term)
-                position, velocity = _make_stage_3lpt(
-                    mesh, n_p, n_dev, cap, term
-                )(phi1_k, phi2_k, position, velocity, dplus_n, fH_n)
-        del phi2_k
+                position, velocity = apply_src(
+                    rhs_k(term, rescale, p1e, p2e),
+                    position, velocity, dplus_n, fH_n,
+                )
+            del p2e
+        del p1e, phi2_k
     del phi1_k
 
     position = jax.jit(mesh_ops.periodic_wrap)(position)

@@ -17,7 +17,7 @@ from pysco_tpu.parallel import ic_slab, slab
 NDEV = 8
 
 
-def _param(tmp_path, order):
+def _param(tmp_path, order, dealias=False):
     pk_file = tmp_path / "pk.dat"
     cosmo.write_power_spectrum_table(str(pk_file))
     base = tmp_path / "run"
@@ -28,7 +28,7 @@ def _param(tmp_path, order):
         "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
         "ncoarse": 5, "npart": 32 ** 3, "z_start": 49, "seed": 42,
         "position_ICS": "center", "fixed_ICS": False, "paired_ICS": False,
-        "dealiased_ICS": False, "power_spectrum_file": str(pk_file),
+        "dealiased_ICS": dealias, "power_spectrum_file": str(pk_file),
         "initial_conditions": order, "base": str(base), "extra": "test",
         "output_snapshot_format": "HDF5", "mass_scheme": "TSC",
         "linear_newton_solver": "fft", "gradient_stencil_order": 5,
@@ -45,9 +45,12 @@ def _wrap_dist(a, b):
     return np.minimum(d, 1.0 - d)
 
 
-@pytest.mark.parametrize("order", ["1LPT", "2LPT", "3LPT"])
-def test_slab_ic_matches_single_device(tmp_path, order):
-    param = dict(_param(tmp_path, order))
+@pytest.mark.parametrize("order,dealias", [
+    ("1LPT", False), ("2LPT", False), ("2LPT", True), ("3LPT", False),
+    ("3LPT", True),
+])
+def test_slab_ic_matches_single_device(tmp_path, order, dealias):
+    param = dict(_param(tmp_path, order, dealias))
     param["aexp"] = 1.0 / (1 + param["z_start"])
     tables = cosmo.generate(param)
 
