@@ -105,7 +105,7 @@ def _sync(x):
 
 
 def bench_config(ncoarse, npart, scheme, theory, solver_name, iters=ITERS,
-                 warmup=WARMUP):
+                 warmup=WARMUP, extra_param=None):
     """Steps/sec for one configuration on the attached TPU chip."""
     import jax.numpy as jnp  # noqa: F401
     from pysco_tpu import integrate, solver as solver_mod
@@ -124,6 +124,8 @@ def bench_config(ncoarse, npart, scheme, theory, solver_name, iters=ITERS,
     }
     if theory == "fr_n2":
         param["theory"] = "fr"
+    if extra_param:
+        param.update(extra_param)
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     pos, vel = _device_state(npart)
@@ -452,9 +454,10 @@ def main():
                 * max(1, 0.6 * programs) * theory_mult)
 
     def cfg_task(extra_, label, nc, npart, scheme, theory, solver_name,
-                 iters):
+                 iters, extra_param=None):
         sps = bench_config(nc, npart, scheme, theory, solver_name,
-                           iters=iters, warmup=2 if nc > 8 else WARMUP)
+                           iters=iters, warmup=2 if nc > 8 else WARMUP,
+                           extra_param=extra_param)
         extra_[label] = round(sps, 3)
 
     by_label = {c[0]: c for c in CONFIGS}
@@ -478,6 +481,14 @@ def main():
                               iters_outer=3, theory="fr",
                               solver_name="multigrid")),
         cfg("fr_n1_cic_multigrid_512"),
+        # A/B for the dominant cost (the per-force tile sort): the
+        # two-round shifted block sort (sort_mode=nearly) vs the global
+        # 7-operand sort the headline uses -- captured here so a single
+        # driver run provides the data that decides the next default.
+        ("newton_cic_fft_256_nearly", 8, 1,
+         lambda e: cfg_task(e, "newton_cic_fft_256_nearly", 8, 256 ** 3,
+                            "cic", "newton", "fft", ITERS,
+                            extra_param={"sort_mode": "nearly"})),
         cfg("newton_tsc_multigrid_256"),
         cfg("newton_tsc_fft_256"),
         ("components", 8, 2, None),      # handled specially below
