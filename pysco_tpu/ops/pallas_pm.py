@@ -225,33 +225,51 @@ def _pow2_block(n: int, block: int) -> int:
 
 def sort_particles(position, velocity, ncells_1d: int, scheme: str,
                    plane0=0, n_planes: int | None = None,
-                   nearly: bool = False, block: int = 1 << 18):
+                   nearly: bool = False, block: int = 1 << 18,
+                   mode: str | None = None):
     """Tile-sort the column state; returns (pos, vel, tile_starts).
 
-    One 7-operand ``lax.sort`` per force evaluation; ``tile_starts`` has
-    ntiles+1 entries (tile t's particles occupy columns
+    One ``lax.sort`` per force evaluation; ``tile_starts`` has ntiles+1
+    entries (tile t's particles occupy columns
     [tile_starts[t], tile_starts[t+1])), not aligned to anything -- the
     kernels mask at chunk granularity instead.
 
-    ``nearly=True`` exploits that between force evaluations particles
-    drift by at most ~1 cell (CFL), so the stale order is within a
-    bounded column displacement of the new sorted order: a two-round
-    shifted block sort (:func:`_nearly_sort`, ~2x cheaper than the
-    global 7-operand sort at 256^3) produces the candidate, a cheap
-    key-monotonicity check validates it, and a ``lax.cond`` falls back
-    to the full sort when the displacement bound was violated (heavy
-    clustering, first sort after ICs/restart). Either way the result is
-    exactly tile-sorted.
+    ``mode`` selects the strategy (``nearly=True`` is a legacy alias for
+    ``mode="nearly"``):
+
+    - ``full``: one global 7-operand sort (key + 3 pos + 3 vel).
+    - ``nearly``: exploits that between force evaluations particles
+      drift by at most ~1 cell (CFL), so the stale order is within a
+      bounded column displacement of the new sorted order: a two-round
+      shifted block sort (:func:`_nearly_sort`) produces the candidate,
+      a cheap key-monotonicity check validates it, and a ``lax.cond``
+      falls back to the full sort when the displacement bound was
+      violated (heavy clustering, first sort after ICs/restart). Either
+      way the result is exactly tile-sorted.
+    - ``index``: 2-operand sort (key, iota) followed by one ``take``
+      permutation of the six payload rows -- 8 instead of 28 bytes per
+      column through the sort's O(log^2 N) compare-exchange passes, at
+      the price of one extra random-access gather pass over the
+      payload.
+    - ``nearly_index``: both.
     """
     m = ncells_1d
+    if mode is None:
+        mode = "nearly" if nearly else "full"
     if n_planes is None:
         n_planes = m
     ntiles = n_planes * (m // YB)
     key = tile_keys(position, m, scheme, plane0, n_planes)
-    ops_in = (key, position[0], position[1], position[2],
-              velocity[0], velocity[1], velocity[2])
-    B = _pow2_block(ops_in[0].shape[0], block)
-    if nearly and B >= 4096 and ops_in[0].shape[0] // B >= 2:
+    n = key.shape[0]
+    use_index = mode in ("index", "nearly_index")
+    use_nearly = mode in ("nearly", "nearly_index")
+    if use_index:
+        ops_in = (key, jnp.arange(n, dtype=I32))
+    else:
+        ops_in = (key, position[0], position[1], position[2],
+                  velocity[0], velocity[1], velocity[2])
+    B = _pow2_block(n, block)
+    if use_nearly and B >= 4096 and n // B >= 2:
         cand = _nearly_sort(ops_in, B)
         ok = jnp.all(cand[0][1:] >= cand[0][:-1])
         ops = lax.cond(
@@ -262,9 +280,16 @@ def sort_particles(position, velocity, ncells_1d: int, scheme: str,
         )
     else:
         ops = lax.sort(ops_in, num_keys=1)
-    zero = jnp.zeros_like(ops[1])
-    pos_s = jnp.stack((*ops[1:4], zero))
-    vel_s = jnp.stack((*ops[4:7], zero))
+    if use_index:
+        idx = ops[1]
+        # row 3 is zero by the column-state invariant (to_columns,
+        # _device_state); the permutation preserves it.
+        pos_s = jnp.take(position, idx, axis=1)
+        vel_s = jnp.take(velocity, idx, axis=1)
+    else:
+        zero = jnp.zeros_like(ops[1])
+        pos_s = jnp.stack((*ops[1:4], zero))
+        vel_s = jnp.stack((*ops[4:7], zero))
     starts = jnp.searchsorted(
         ops[0], jnp.arange(ntiles + 1, dtype=I32), side="left"
     ).astype(I32)

@@ -58,7 +58,7 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
 
         interpret = jax.default_backend() == "cpu"
         position, velocity, tstarts = pallas_pm.sort_particles(
-            position, velocity, n, cfg.mass_scheme
+            position, velocity, n, cfg.mass_scheme, mode=cfg.sort_mode
         )
         density = pallas_pm.deposit(
             position, tstarts, n, cfg.mass_scheme, interpret,

@@ -611,7 +611,8 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
                 cfg.mass_scheme,
             )
             position, velocity, tstarts = pallas_pm.sort_particles(
-                position, velocity, m, cfg.mass_scheme, plane0, planes
+                position, velocity, m, cfg.mass_scheme, plane0, planes,
+                mode=cfg.sort_mode,
             )
             n_real = tstarts[-1]
             overflow = lost + jnp.maximum(n_real - cap, 0)

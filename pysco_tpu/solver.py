@@ -72,6 +72,9 @@ class SolverConfig:
     # batched block sort gives no win over the monolithic sort (both
     # ~140 ms; payload movement dominates), so "nearly" is opt-in until
     # a VMEM-resident block sorter makes the rounds cheaper.
+    # "index": sort only (key, iota) then permute the payload with one
+    # take() -- 8 instead of 28 bytes/column through the sort passes.
+    # "nearly_index": both. A/B these on-chip with tools/sort_ab.py.
     sort_mode: str = "full"
     # MXU precision of the pallas deposit/gather contractions (the hot
     # cost at large grids; see ops/pallas_pm._dot): "bf16x3" (default)
@@ -336,7 +339,7 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             )
         position, velocity, tstarts = pallas_pm.sort_particles(
             position, velocity, n, cfg.mass_scheme,
-            nearly=cfg.sort_mode == "nearly",
+            mode=cfg.sort_mode,
         )
         density = pallas_pm.deposit(
             position, tstarts, n, cfg.mass_scheme, interpret,
@@ -527,7 +530,7 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: int, save_pk: bool,
     else:
         position, velocity, tstarts = pallas_pm.sort_particles(
             position, velocity, n, cfg.mass_scheme,
-            nearly=cfg.sort_mode == "nearly",
+            mode=cfg.sort_mode,
         )
         drift = 0
         overflow = jnp.int32(0)

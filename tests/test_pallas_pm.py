@@ -253,11 +253,12 @@ def _tile_multisets(pos_s, starts):
     return out
 
 
+@pytest.mark.parametrize("mode", ["nearly", "index", "nearly_index"])
 @pytest.mark.parametrize("scenario", ["random", "drifted"])
-def test_nearly_sort_matches_full(scenario):
-    """nearly=True must yield an exactly tile-sorted state whether the
-    two-round displacement bound holds (drifted: small perturbation of a
-    sorted state) or not (random: the cond fallback path)."""
+def test_sort_modes_match_full(scenario, mode):
+    """Every sort_mode must yield an exactly tile-sorted state whether
+    the two-round displacement bound holds (drifted: small perturbation
+    of a sorted state) or not (random: the cond fallback path)."""
     m = 32
     n = 4096 * 4  # power of two so the block sort engages (B=2^13)
     rng = np.random.default_rng(7)
@@ -272,7 +273,7 @@ def test_nearly_sort_matches_full(scenario):
         pos_c = pos_c.at[3].set(0.0)
 
     got_p, got_v, got_s = pallas_pm.sort_particles(
-        pos_c, vel_c, m, "tsc", nearly=True, block=4096
+        pos_c, vel_c, m, "tsc", mode=mode, block=4096
     )
     want_p, want_v, want_s = pallas_pm.sort_particles(
         pos_c, vel_c, m, "tsc"
@@ -283,3 +284,12 @@ def test_nearly_sort_matches_full(scenario):
     for a, b in zip(_tile_multisets(got_p, got_s),
                     _tile_multisets(want_p, want_s)):
         np.testing.assert_array_equal(a, b)
+    # pos-vel pairing survives the permutation (the index modes permute
+    # pos and vel in separate take() calls): the global multiset of
+    # (pos, vel) column 6-tuples must match the input's exactly.
+    def _pairs(p, v):
+        cols = np.concatenate((np.array(p)[:3], np.array(v)[:3]))
+        return cols[:, np.lexsort(cols)]
+
+    np.testing.assert_array_equal(_pairs(got_p, got_v),
+                                  _pairs(pos_c, vel_c))
