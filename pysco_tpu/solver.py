@@ -68,13 +68,14 @@ class SolverConfig:
     # "full" (default): the global 7-operand sort. "nearly": two-round
     # shifted block sort exploiting the CFL-bounded drift between force
     # evaluations, with a monotonicity check and full-sort fallback
-    # (pallas_pm.sort_particles). Measured on v5e at 256^3 the XLA
-    # batched block sort gives no win over the monolithic sort (both
-    # ~140 ms; payload movement dominates), so "nearly" is opt-in until
-    # a VMEM-resident block sorter makes the rounds cheaper.
-    # "index": sort only (key, iota) then permute the payload with one
-    # take() -- 8 instead of 28 bytes/column through the sort passes.
-    # "nearly_index": both. A/B these on-chip with tools/sort_ab.py.
+    # (pallas_pm.sort_particles). "index": sort only (key, iota) then
+    # permute the payload with one take(). "nearly_index": both.
+    # All three alternatives LOSE on v5e at 256^3 (tools/sort_ab.py,
+    # 2026-08-18): full 137 ms, nearly 272 (two 7-op block rounds plus
+    # the cond fallback's buffer copies), index 692 (raw 2-op sort is
+    # only 38 ms but the take() permutation is an element-granularity
+    # TPU gather at 661 ms). They stay as documented experiments; the
+    # production lever is sort CADENCE (lazy_drift), not sort cost.
     sort_mode: str = "full"
     # MXU precision of the pallas deposit/gather contractions (the hot
     # cost at large grids; see ops/pallas_pm._dot): "bf16x3" (default)
