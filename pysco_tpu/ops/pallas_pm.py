@@ -91,7 +91,15 @@ def _dot(a, b, dims, mode: str):
     # more rounding) and on the CPU interpret path (full-f32 dots).
     return d(ah, b - bh) + (d(a - ah, bh) + d(ah, bh))
 
-YB = 8  # y-block rows per tile
+# y-block rows per tile. Trade-off: larger YB means fewer tiles (less
+# per-tile loop/DMA overhead) and better y-window pad efficiency
+# (wy = YB + w - 1 + 2*drift rounds up to a multiple of 8: at YB=8 a
+# CIC window is 9 rows padded to 16 -- 44% waste; at YB=16 it is 17/24),
+# but a coarser sort granularity (more particles per tile) and a larger
+# VMEM window. Env-tunable for on-chip sweeps (tools/sweep_chunk.sh
+# pattern); grids must satisfy ncells_1d % YB == 0.
+YB = int(__import__("os").environ.get("PYSCO_TPU_YB", "8"))
+assert YB % 8 == 0 and YB > 0, "PYSCO_TPU_YB must be a positive x8"
 # Particle chunk size == DMA alignment quantum. The tile loop pays a
 # fixed per-chunk overhead (2 DMA round trips + one MXU dispatch), so a
 # larger Q amortises latency at the cost of more masked work on
@@ -315,8 +323,19 @@ def drift_violations(position_sorted, tile_starts, ncells_1d: int,
     m = ncells_1d
     scheme = scheme.casefold()
     w, _, wy_pad, _, _, nby, ntiles = _geometry(m, scheme, n_planes, drift)
-    idx = jnp.arange(position_sorted.shape[1], dtype=I32)
-    tile = jnp.searchsorted(tile_starts[1:], idx, side="right").astype(I32)
+    n_up = position_sorted.shape[1]
+    # tile of column i = #{t >= 1 : starts[t] <= i} == searchsorted(
+    # starts[1:], i, 'right') -- but computed as an 8K-element scatter of
+    # boundary markers + one cumsum instead of a 16.8M-element binary
+    # search: per-element searchsorted lowers to log2(ntiles) serial
+    # gather passes on TPU (~1.8 s at 256^3, measured -- the same
+    # element-granularity pathology as take()); the scatter+cumsum form
+    # is bandwidth-bound (~ms).
+    bounds = tile_starts[1:]
+    marks = jnp.zeros(n_up + 1, I32).at[
+        jnp.minimum(bounds, I32(n_up))
+    ].add(1, mode="drop")
+    tile = jnp.cumsum(marks[:-1], dtype=I32)
     plane = tile // nby + jnp.asarray(plane0, I32)
     yb = tile % nby
     bx = _base_axis(scheme, position_sorted[0] * F32(m)) % m

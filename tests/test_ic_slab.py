@@ -13,6 +13,7 @@ import pytest
 
 from pysco_tpu import cosmo, ic_device, solver as solver_mod
 from pysco_tpu.parallel import ic_slab, slab
+from pysco_tpu.ops import pallas_pm
 
 NDEV = 8
 
@@ -81,7 +82,7 @@ def test_slab_ic_matches_single_device(tmp_path, order, dealias):
     assert acc.shape == pos_s.shape
     m = cfg.ncells_1d
     assert phi.shape == (m, m, m)
-    assert ts.shape == (NDEV * ((m // NDEV) * (m // 8) + 1),)
+    assert ts.shape == (NDEV * ((m // NDEV) * (m // pallas_pm.YB) + 1),)
 
 
 def test_slab_ic_run_end_to_end(tmp_path):
