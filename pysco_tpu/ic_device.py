@@ -65,161 +65,307 @@ def trim_k(x: jax.Array) -> jax.Array:
     return out
 
 
-def _ihess(xk, ij):
-    return fourier.irfft3(fourier.hessian(xk, ij))
-
-
-def _maybe_pad(dealias: bool, *grids):
-    return tuple(pad_k(g) for g in grids) if dealias else grids
-
-
-def _maybe_trim(dealias: bool, rhs, rescale: float):
-    if dealias:
-        return fourier.irfft3(trim_k(fourier.rfft3(rhs))) * F32(rescale)
-    return rhs
-
-
 # ---------------------------------------------------------------------------
-# LPT sources (ic.py:379-435 on device)
+# Small jitted programs -- one FFT each (the 512^3 OOM fix)
 # ---------------------------------------------------------------------------
+# A single mega-program per LPT order hands XLA one buffer-assignment
+# problem containing every Hessian FFT temporary, all three displacement
+# grids and the donated 4.3 GB column state at once; at 512^3 the
+# resulting temp arena exceeds the 16 GB HBM of one chip (measured
+# RESOURCE_EXHAUSTED). Splitting into sequential single-FFT programs
+# caps each program's arena at ~one FFT workspace, and the host driver
+# controls exactly which 512 MB real grids stay live between programs.
+# The float32 op ORDER inside every term is kept identical to the old
+# fused stages (and to ic.py), so the 32^3 device-vs-host equality test
+# still passes bit-for-bit.
 
-def compute_2ndorder_rhs(phi1_k, dealias: bool):
-    (p1,) = _maybe_pad(dealias, phi1_k)
-    rhs = _ihess(p1, (0, 0)) * fourier.irfft3(
-        fourier.sum_of_hessian(p1, (1, 1), (2, 2))
-    )
-    rhs += _ihess(p1, (1, 1)) * _ihess(p1, (2, 2))
-    rhs -= _ihess(p1, (0, 1)) ** 2
-    rhs -= _ihess(p1, (0, 2)) ** 2
-    rhs -= _ihess(p1, (1, 2)) ** 2
-    return _maybe_trim(dealias, rhs, 1.5 ** 3)
-
-
-def compute_3a_rhs(phi1_k, dealias: bool):
-    (p1,) = _maybe_pad(dealias, phi1_k)
-    h01 = _ihess(p1, (0, 1))
-    h02 = _ihess(p1, (0, 2))
-    h12 = _ihess(p1, (1, 2))
-    h00 = _ihess(p1, (0, 0))
-    h11 = _ihess(p1, (1, 1))
-    h22 = _ihess(p1, (2, 2))
-    rhs = h00 * h11 * h22
-    rhs += F32(2) * h01 * h02 * h12
-    rhs -= h12 * h12 * h00
-    rhs -= h02 * h02 * h11
-    rhs -= h01 * h01 * h22
-    return _maybe_trim(dealias, rhs, 1.5 ** 6)
-
-
-def compute_3b_rhs(phi1_k, phi2_k, dealias: bool):
-    p1, p2 = _maybe_pad(dealias, phi1_k, phi2_k)
-    half = F32(0.5)
-    rhs = half * _ihess(p1, (0, 0)) * fourier.irfft3(
-        fourier.sum_of_hessian(p2, (1, 1), (2, 2))
-    )
-    rhs += half * _ihess(p1, (1, 1)) * fourier.irfft3(
-        fourier.sum_of_hessian(p2, (0, 0), (2, 2))
-    )
-    rhs += half * _ihess(p1, (2, 2)) * fourier.irfft3(
-        fourier.sum_of_hessian(p2, (0, 0), (1, 1))
-    )
-    rhs -= _ihess(p1, (0, 1)) * _ihess(p2, (0, 1))
-    rhs -= _ihess(p1, (0, 2)) * _ihess(p2, (0, 2))
-    rhs -= _ihess(p1, (1, 2)) * _ihess(p2, (1, 2))
-    return _maybe_trim(dealias, rhs, 1.5 ** 3)
-
-
-def compute_3c_rhs(phi1_k, phi2_k, dealias: bool, component: int):
-    """Rotational 3LPT source A_x/A_y/A_z (ic.py:417-435)."""
-    p1, p2 = _maybe_pad(dealias, phi1_k, phi2_k)
-    d = fourier.diff_of_hessian
-    if component == 0:
-        rhs = _ihess(p1, (0, 2)) * _ihess(p2, (0, 1))
-        rhs -= _ihess(p2, (0, 2)) * _ihess(p1, (0, 1))
-        rhs += _ihess(p1, (1, 2)) * fourier.irfft3(d(p2, (1, 1), (2, 2)))
-        rhs -= _ihess(p2, (1, 2)) * fourier.irfft3(d(p1, (1, 1), (2, 2)))
-    elif component == 1:
-        rhs = _ihess(p1, (0, 1)) * _ihess(p2, (1, 2))
-        rhs -= _ihess(p2, (0, 1)) * _ihess(p1, (1, 2))
-        rhs += _ihess(p1, (0, 2)) * fourier.irfft3(d(p2, (2, 2), (0, 0)))
-        rhs -= _ihess(p2, (0, 2)) * fourier.irfft3(d(p1, (2, 2), (0, 0)))
-    else:
-        rhs = _ihess(p1, (1, 2)) * _ihess(p2, (0, 2))
-        rhs -= _ihess(p2, (1, 2)) * _ihess(p1, (0, 2))
-        rhs += _ihess(p1, (0, 1)) * fourier.irfft3(d(p2, (0, 0), (1, 1)))
-        rhs -= _ihess(p2, (0, 1)) * fourier.irfft3(d(p1, (0, 0), (1, 1)))
-    return _maybe_trim(dealias, rhs, 1.5 ** 3)
-
-
-# ---------------------------------------------------------------------------
-# Jitted stages (one XLA program per LPT order; scalars enter as f32)
-# ---------------------------------------------------------------------------
-
-def _psi_components(src_k):
-    """Per-component spectral gradient -> real space, one FFT at a time
-    (memory: never holds the (N, N, N, 3) stack; fourier.py:239-247)."""
-    n = src_k.shape[0]
-    kx, ky, kz = fourier._wavenumbers(n)
-    tmp = jnp.complex64(2j * jnp.pi) * src_k
-    return (
-        fourier.irfft3(tmp * kx),
-        fourier.irfft3(tmp * ky),
-        fourier.irfft3(tmp * kz),
-    )
+_pad = jax.jit(pad_k)
 
 
 @jax.jit
-def _stage_1lpt(density_k_pair, offset, dplus_1, fH_1):
-    """phi1 + 1LPT lattice init, producing (4, npart) column state
-    (ic.py initialise_1LPT, reference initial_conditions.py:1688-1748).
+def _trim(rhs, rescale):
+    """Orszag 3/2 trim back to N plus the 1.5^k volume rescale."""
+    return fourier.irfft3(trim_k(fourier.rfft3(rhs))) * F32(rescale)
 
-    ``density_k_pair`` is the white-noise half grid as a float32
+
+@jax.jit
+def _density_to_phi1(density_k_pair):
+    """``density_k_pair`` is the white-noise half grid as a float32
     (..., 2) real/imag stack: the axon backend cannot upload complex64
     host arrays (batched_device_put -> UNIMPLEMENTED), so the complex
     view is assembled on device."""
     density_k = jax.lax.complex(density_k_pair[..., 0],
                                 density_k_pair[..., 1])
-    phi1_k = fourier.inverse_laplacian(density_k)
-    n = phi1_k.shape[0]
+    return fourier.inverse_laplacian(density_k)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _hess_real(src_k, ij):
+    return fourier.irfft3(fourier.hessian(src_k, ij))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _sum_hess_real(src_k, ij1, ij2):
+    return fourier.irfft3(fourier.sum_of_hessian(src_k, ij1, ij2))
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _diff_hess_real(src_k, ij1, ij2):
+    return fourier.irfft3(fourier.diff_of_hessian(src_k, ij1, ij2))
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _psi_axis(src_k, axis):
+    """irfft3(2j pi k_axis src_k): one displacement component at a time
+    (never holds the (N, N, N, 3) stack; fourier.py:239-247)."""
+    n = src_k.shape[0]
+    ks = fourier._wavenumbers(n)
+    tmp = jnp.complex64(2j * jnp.pi) * src_k
+    return fourier.irfft3(tmp * ks[axis])
+
+
+@jax.jit
+def _invlap_of_real(rhs):
+    return fourier.inverse_laplacian(fourier.rfft3(rhs))
+
+
+# elementwise accumulation programs (rhs donated: updated in place)
+@jax.jit
+def _mul(a, b):
+    return a * b
+
+
+@jax.jit
+def _mul3(a, b, c):
+    return a * b * c
+
+
+@jax.jit
+def _half_mul(a, b):
+    return F32(0.5) * a * b
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _add_prod(rhs, a, b):
+    return rhs + a * b
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _sub_prod(rhs, a, b):
+    return rhs - a * b
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _add_half_prod(rhs, a, b):
+    return rhs + F32(0.5) * a * b
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _sub_sq(rhs, a):
+    return rhs - a ** 2
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _add_2prod3(rhs, a, b, c):
+    return rhs + F32(2) * a * b * c
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _sub_prod3(rhs, a, b, c):
+    return rhs - a * b * c
+
+
+# The lattice programs keep the column state viewed as (4, n^2, n): a
+# 3D->1D reshape whose producer is any COMPUTED value (not a pure copy)
+# compiles ~250x slower on this toolchain (measured 150 s vs 0.6 s per
+# program at 512^3 -- the flat minor dim forces a full relayout through
+# the fused producer). Reshaping (n, n, n) -> (n^2, n) keeps the minor
+# dim, so it is a layout-preserving bitcast; the single pure-reshape
+# collapse to (4, n^3) at the end costs ~1 s.
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+def _init_axis(axis, position, velocity, psi, offset, dplus_1, fH_1):
+    """1LPT lattice init of one axis of the (4, n^2, n) column state
+    (ic.py initialise_1LPT, reference initial_conditions.py:1688-1748)."""
+    n = psi.shape[0]
     h = F32(1.0 / n)
     coords = jnp.arange(n, dtype=F32) * h + offset
+    shape = [1, 1, 1]
+    shape[axis] = n
     dplus_1 = F32(dplus_1)
     dfH = F32(dplus_1) * F32(fH_1)
-    psis = _psi_components(phi1_k)
-    shapes = [(n, 1, 1), (1, n, 1), (1, 1, n)]
-    pos_rows, vel_rows = [], []
+    pa = coords.reshape(shape) - dplus_1 * psi
+    position = position.at[axis].set(
+        jnp.broadcast_to(pa, (n, n, n)).reshape(n * n, n)
+    )
+    velocity = velocity.at[axis].set((-dfH * psi).reshape(n * n, n))
+    return position, velocity
+
+
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+def _add_axis(axis, position, velocity, psi, dplus_n, fH_n):
+    """psi component accumulated onto the column state (ic.py add_nLPT)."""
+    n = psi.shape[0]
+    dplus_n = F32(dplus_n)
+    dfH = F32(dplus_n) * F32(fH_n)
+    pa = psi.reshape(n * n, n)
+    position = position.at[axis].add(dplus_n * pa)
+    velocity = velocity.at[axis].add(dfH * pa)
+    return position, velocity
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _collapse_cols(state):
+    """(4, n^2, n) -> (4, n^3): the one flat reshape, a pure copy."""
+    return state.reshape(4, state.shape[1] * state.shape[2])
+
+
+# ---------------------------------------------------------------------------
+# LPT sources (ic.py:379-435 on device); host drivers issuing the small
+# programs above with explicit del's between terms. At most rhs + 3 real
+# grids are live at any point.
+# ---------------------------------------------------------------------------
+
+def compute_2ndorder_rhs(phi1_k, dealias: bool):
+    p1 = _pad(phi1_k) if dealias else phi1_k
+    s = _sum_hess_real(p1, (1, 1), (2, 2))
+    h = _hess_real(p1, (0, 0))
+    rhs = _mul(h, s)
+    del h, s
+    a = _hess_real(p1, (1, 1))
+    b = _hess_real(p1, (2, 2))
+    rhs = _add_prod(rhs, a, b)
+    del a, b
+    for ij in ((0, 1), (0, 2), (1, 2)):
+        h = _hess_real(p1, ij)
+        rhs = _sub_sq(rhs, h)
+        del h
+    del p1
+    return _trim(rhs, np.float32(1.5 ** 3)) if dealias else rhs
+
+
+def compute_3a_rhs(phi1_k, dealias: bool):
+    p1 = _pad(phi1_k) if dealias else phi1_k
+    h00 = _hess_real(p1, (0, 0))
+    h11 = _hess_real(p1, (1, 1))
+    h22 = _hess_real(p1, (2, 2))
+    rhs = _mul3(h00, h11, h22)
+    del h00, h11, h22  # recomputed below: caps live grids at rhs + 3
+    h01 = _hess_real(p1, (0, 1))
+    h02 = _hess_real(p1, (0, 2))
+    h12 = _hess_real(p1, (1, 2))
+    rhs = _add_2prod3(rhs, h01, h02, h12)
+    h00 = _hess_real(p1, (0, 0))
+    rhs = _sub_prod3(rhs, h12, h12, h00)
+    del h12, h00
+    h11 = _hess_real(p1, (1, 1))
+    rhs = _sub_prod3(rhs, h02, h02, h11)
+    del h02, h11
+    h22 = _hess_real(p1, (2, 2))
+    rhs = _sub_prod3(rhs, h01, h01, h22)
+    del h01, h22, p1
+    return _trim(rhs, np.float32(1.5 ** 6)) if dealias else rhs
+
+
+def compute_3b_rhs(phi1_k, phi2_k, dealias: bool):
+    if dealias:
+        p1, p2 = _pad(phi1_k), _pad(phi2_k)
+    else:
+        p1, p2 = phi1_k, phi2_k
+    h = _hess_real(p1, (0, 0))
+    s = _sum_hess_real(p2, (1, 1), (2, 2))
+    rhs = _half_mul(h, s)
+    del h, s
+    h = _hess_real(p1, (1, 1))
+    s = _sum_hess_real(p2, (0, 0), (2, 2))
+    rhs = _add_half_prod(rhs, h, s)
+    del h, s
+    h = _hess_real(p1, (2, 2))
+    s = _sum_hess_real(p2, (0, 0), (1, 1))
+    rhs = _add_half_prod(rhs, h, s)
+    del h, s
+    for ij in ((0, 1), (0, 2), (1, 2)):
+        a = _hess_real(p1, ij)
+        b = _hess_real(p2, ij)
+        rhs = _sub_prod(rhs, a, b)
+        del a, b
+    del p1, p2
+    return _trim(rhs, np.float32(1.5 ** 3)) if dealias else rhs
+
+
+def compute_3c_rhs(phi1_k, phi2_k, dealias: bool, component: int):
+    """Rotational 3LPT source A_x/A_y/A_z (ic.py:417-435)."""
+    if dealias:
+        p1, p2 = _pad(phi1_k), _pad(phi2_k)
+    else:
+        p1, p2 = phi1_k, phi2_k
+    # (first hessian pair, second pair, diff axes) per component
+    ij_a, ij_b, dd = {
+        0: ((0, 2), (0, 1), ((1, 1), (2, 2))),
+        1: ((0, 1), (1, 2), ((2, 2), (0, 0))),
+        2: ((1, 2), (0, 2), ((0, 0), (1, 1))),
+    }[component]
+    a = _hess_real(p1, ij_a)
+    b = _hess_real(p2, ij_b)
+    rhs = _mul(a, b)
+    del a, b
+    a = _hess_real(p2, ij_a)
+    b = _hess_real(p1, ij_b)
+    rhs = _sub_prod(rhs, a, b)
+    del a, b
+    a = _hess_real(p1, (1, 2) if component == 0 else
+                   ((0, 2) if component == 1 else (0, 1)))
+    d = _diff_hess_real(p2, *dd)
+    rhs = _add_prod(rhs, a, d)
+    del a, d
+    a = _hess_real(p2, (1, 2) if component == 0 else
+                   ((0, 2) if component == 1 else (0, 1)))
+    d = _diff_hess_real(p1, *dd)
+    rhs = _sub_prod(rhs, a, d)
+    del a, d, p1, p2
+    return _trim(rhs, np.float32(1.5 ** 3)) if dealias else rhs
+
+
+# ---------------------------------------------------------------------------
+# Stage drivers (host loops over the per-axis programs)
+# ---------------------------------------------------------------------------
+
+def _stage_1lpt(density_k_pair, offset, dplus_1, fH_1):
+    """phi1 + 1LPT lattice init, producing (4, n^2, n) column state
+    (collapsed to (4, npart) by :func:`_collapse_cols` at the end)."""
+    phi1_k = _density_to_phi1(density_k_pair)
+    n = phi1_k.shape[0]
+    position = jnp.zeros((4, n * n, n), F32)
+    velocity = jnp.zeros((4, n * n, n), F32)
     for a in range(3):
-        pa = coords.reshape(shapes[a]) - dplus_1 * psis[a]
-        pos_rows.append(jnp.broadcast_to(pa, (n, n, n)).reshape(-1))
-        vel_rows.append((-dfH * psis[a]).reshape(-1))
-    zero = jnp.zeros((n * n * n,), F32)
-    return (phi1_k, jnp.stack((*pos_rows, zero)),
-            jnp.stack((*vel_rows, zero)))
+        psi = _psi_axis(phi1_k, a)
+        position, velocity = _init_axis(
+            a, position, velocity, psi, offset, dplus_1, fH_1
+        )
+        del psi
+    return phi1_k, position, velocity
 
 
-@partial(jax.jit, static_argnums=(3,), donate_argnums=(1, 2))
+def _apply_nlpt(position, velocity, src_k, dplus_n, fH_n):
+    for a in range(3):
+        psi = _psi_axis(src_k, a)
+        position, velocity = _add_axis(
+            a, position, velocity, psi, dplus_n, fH_n
+        )
+        del psi
+    return position, velocity
+
+
 def _stage_2lpt(phi1_k, position, velocity, dealias, dplus_2, fH_2):
     rhs2 = compute_2ndorder_rhs(phi1_k, dealias)
-    phi2_k = fourier.inverse_laplacian(fourier.rfft3(rhs2))
-    position, velocity = _add_nlpt_cols(
+    phi2_k = _invlap_of_real(rhs2)
+    del rhs2
+    position, velocity = _apply_nlpt(
         position, velocity, phi2_k, dplus_2, fH_2
     )
     return phi2_k, position, velocity
 
 
-def _add_nlpt_cols(position, velocity, src_k, dplus_n, fH_n):
-    """psi = grad(src) accumulated onto the column state (ic.py add_nLPT)."""
-    dplus_n = F32(dplus_n)
-    dfH = F32(dplus_n) * F32(fH_n)
-    psis = _psi_components(src_k)
-    for a in range(3):
-        pa = psis[a].reshape(-1)
-        position = position.at[a].add(dplus_n * pa)
-        velocity = velocity.at[a].add(dfH * pa)
-    return position, velocity
-
-
-@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(1, 2))
 def _stage_3lpt_term(phi1_k, position, velocity, dealias, term,
                      phi2_k, dplus_n, fH_n):
     """One 3LPT contribution: term 'a', 'b', or 'cx'/'cy'/'cz'
@@ -230,8 +376,13 @@ def _stage_3lpt_term(phi1_k, position, velocity, dealias, term,
         rhs = compute_3b_rhs(phi1_k, phi2_k, dealias)
     else:
         rhs = compute_3c_rhs(phi1_k, phi2_k, dealias, "xyz".index(term[1]))
-    src_k = fourier.inverse_laplacian(fourier.rfft3(rhs))
-    return _add_nlpt_cols(position, velocity, src_k, dplus_n, fH_n)
+    src_k = _invlap_of_real(rhs)
+    del rhs
+    position, velocity = _apply_nlpt(
+        position, velocity, src_k, dplus_n, fH_n
+    )
+    del src_k
+    return position, velocity
 
 
 # ---------------------------------------------------------------------------
@@ -281,10 +432,13 @@ def generate_lpt(param, tables):
     # uploaded as a float32 real/imag stack (axon rejects complex64
     # uploads) and assembled to complex64 inside _stage_1lpt
     dk_host = ic_host.generate_density_fourier(param)
+    logging.warning("Host white-noise draw: %.1f s", perf_counter() - t0)
     density_k = jnp.asarray(
         np.stack((dk_host.real, dk_host.imag), axis=-1), dtype=np.float32
     )
     del dk_host
+    float(jnp.sum(density_k[:1, :1, :1]))  # upload barrier (axon)
+    logging.warning("Upload done: %.1f s", perf_counter() - t0)
 
     dplus_1_z0 = tables[3](0)
     dplus_1 = np.float32(tables[3](lna_start) / dplus_1_z0)
@@ -297,6 +451,7 @@ def generate_lpt(param, tables):
         density_k, offset, dplus_1, fH_1
     )
     del density_k
+    logging.warning("1LPT stage issued: %.1f s", perf_counter() - t0)
 
     if order != "1lpt":
         logging.warning("Compute 2LPT contribution")
@@ -331,6 +486,8 @@ def generate_lpt(param, tables):
         del phi2_k
     del phi1_k
 
+    position = _collapse_cols(position)
+    velocity = _collapse_cols(velocity)
     position = mesh_ops.periodic_wrap(position)
     float(jnp.sum(position[:1, :8]))  # value-fetch barrier (axon)
     logging.warning("Device IC generation: %.1f s", perf_counter() - t0)
