@@ -156,6 +156,38 @@ def bench_config(ncoarse, npart, scheme, theory, solver_name, iters=ITERS,
     return steps_per_sec
 
 
+def _run_isolated(expr: str, timeout_s: float):
+    """Evaluate ``expr`` (a bench.* call returning something JSON-able)
+    in a FRESH subprocess and return the parsed result.
+
+    The two 512^3 tail tasks need most of HBM; after a full bench
+    session the long-lived process cannot free every lingering buffer
+    (jit-cache constants, donation aliases) and they die with
+    RESOURCE_EXHAUSTED even though each succeeds standalone. A fresh
+    process is the only reliable full-HBM reset; the persistent compile
+    cache keeps the subprocess compiles cheap."""
+    import subprocess
+    import sys
+
+    code = (
+        "import json, bench\n"
+        "bench._setup_compile_cache()\n"
+        f"print('@@RESULT@@' + json.dumps({expr}), flush=True)\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=max(timeout_s, 60), capture_output=True, text=True,
+    )
+    for line in reversed(r.stdout.splitlines()):
+        if line.startswith("@@RESULT@@"):
+            return json.loads(line[len("@@RESULT@@"):])
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    raise RuntimeError(
+        f"isolated task rc={r.returncode}: {' | '.join(tail[-3:])[:200]}"
+    )
+
+
 def bench_components(ncoarse=None, npart=None, scheme="tsc", iters=3):
     """Per-component timings (ms) on the TPU (default 256^3 TSC)."""
     from pysco_tpu import solver as solver_mod
@@ -172,8 +204,10 @@ def bench_components(ncoarse=None, npart=None, scheme="tsc", iters=3):
     }
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
-    pos_c, vel_c = _device_state(param["npart"])
-    return component_breakdown(cfg, pos_c, vel_c, dyn, iters=iters)
+    # no local refs to the (4, N) state: component_breakdown frees the
+    # unsorted copy after the sort stage (needed to fit 512^3 in HBM)
+    return component_breakdown(cfg, *_device_state(param["npart"]), dyn,
+                               iters=iters)
 
 
 def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
@@ -545,8 +579,10 @@ def main():
         # on-device IC generation wall-clock (VERDICT r2 item 4: "512^3
         # 2LPT ICs measured and logged"); key says seconds, not steps/s
         ("ic_2lpt_512_seconds", 9, 2,
-         lambda e: e.__setitem__("ic_2lpt_512_seconds",
-                                 round(bench_ic_device(), 1))),
+         lambda e: e.__setitem__(
+             "ic_2lpt_512_seconds",
+             _run_isolated("round(bench.bench_ic_device(), 1)",
+                           _remaining() - 30))),
     ]
     special = ("components", "components_512")
 
@@ -594,8 +630,11 @@ def main():
             if first_key == "components":
                 components = bench_components()
             elif first_key == "components_512":
-                components_512 = bench_components(
-                    ncoarse=9, npart=512 ** 3, scheme="cic", iters=2
+                # fresh process: needs nearly all of HBM (see _run_isolated)
+                components_512 = _run_isolated(
+                    "bench.bench_components(ncoarse=9, npart=512 ** 3, "
+                    "scheme='cic', iters=2)",
+                    _remaining() - 30,
                 )
             else:
                 fn(extra)

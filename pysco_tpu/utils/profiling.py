@@ -95,6 +95,9 @@ def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
         _sync(out)
         t0 = perf_counter()
         for _ in range(iters):
+            # free the previous output BEFORE the next call: at 512^3 a
+            # second live (4, N) sorted copy pushes the loop past HBM
+            del out
             out = fn(*args)
         _sync(out)
         return (perf_counter() - t0) / iters * 1e3, out
@@ -103,6 +106,9 @@ def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
         lambda p, v: pallas_pm.sort_particles(p, v, m, scheme)
     )
     t_sort, (pos_s, vel_s, starts) = timeit(sort_fn, position, velocity)
+    # the unsorted state is only needed by the sort stage; at 512^3 the
+    # 4.3 GB it holds is the margin the solve/gather stages need
+    del position, velocity
     t_dep, dens = timeit(
         lambda p, s: pallas_pm.deposit(p, s, m, scheme, interpret,
                                        precision=cfg.pm_precision),
