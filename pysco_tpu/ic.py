@@ -313,8 +313,25 @@ def get_transfer_grid(param) -> np.ndarray:
     k_dimensionless = k / kf
     sqrtPk = (np.sqrt(Pk / param["boxlen"] ** 3) * ncells_1d ** 3).astype(F32)
     kx, ky, kz = _wavenumbers(ncells_1d)
-    k_grid = np.sqrt(kx * kx + ky * ky + kz * kz)
-    return np.interp(k_grid, k_dimensionless, sqrtPk).astype(F32)
+    # |k|^2 is an exact small integer in grid units (components in
+    # [-n/2, n/2]), so interpolate once per unique |k|^2 value (<= 3n^2/4
+    # entries) and gather -- bit-identical to the per-cell np.interp
+    # (the table is evaluated at float32 sqrt of the same exact values)
+    # at a fraction of the cost. Integer k2 is built in intp directly:
+    # on this image's low-bandwidth host every extra 67M-element pass
+    # (an astype, np.take) costs ~2 s at 512^3.
+    half = ncells_1d // 2
+    table = np.interp(
+        np.sqrt(np.arange(3 * half * half + 1, dtype=F32)),
+        k_dimensionless, sqrtPk,
+    ).astype(F32)
+    ki = ((np.arange(ncells_1d) + half) % ncells_1d - half).astype(np.intp)
+    k2 = (
+        (ki * ki)[:, None, None]
+        + (ki * ki)[None, :, None]
+        + (np.arange(half + 1, dtype=np.intp) ** 2)[None, None, :]
+    )
+    return table[k2]
 
 
 def generate_density_fourier(param) -> np.ndarray:
