@@ -128,6 +128,9 @@ def run(param) -> None:
     param = with_defaults(param)
     verbose = int(param["verbose"])
     _setup_logging(verbose)
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(str(param.get("compile_cache", "yes")))
     if verbose >= 2:
         # full timings: per-cycle multigrid residual lines (reference
         # multigrid.py:79,134) and per-step wall-clock at INFO

@@ -174,6 +174,10 @@ DEFAULTS: Dict[str, Any] = {
     # occupancy exceeds this fraction of its capacity (proactive, before
     # particles are at risk; costs one re-trace). Set >= 1 to disable.
     "slab_rebalance_headroom": 0.9,
+    # persistent XLA compile cache: yes | no | /path (also honours
+    # PYSCO_TPU_JAX_CACHE). Compile dominates cold starts on TPU; this
+    # is the analogue of the reference's @njit(cache=True).
+    "compile_cache": "yes",
 }
 
 
