@@ -303,28 +303,32 @@ def generate_force(param) -> np.ndarray:
     return _irfft_vec(force.astype(C64))
 
 
-def get_transfer_grid(param) -> np.ndarray:
-    """sqrt(P(k)) interpolated onto the |k| half grid (in grid units)."""
+def transfer_table(param, ncells_1d: int) -> np.ndarray:
+    """sqrt(P(k)) per unique integer |k|^2 value (grid units): |k|^2 is an
+    exact small integer (components in [-n/2, n/2]), so interpolating once
+    per value (<= 3n^2/4 entries) and gathering is bit-identical to the
+    per-cell np.interp at a fraction of the cost."""
     k, Pk = np.loadtxt(param["power_spectrum_file"]).T
-    ncells_1d = int(round(float(param["npart"]) ** (1.0 / 3.0)))
-    if param["npart"] != ncells_1d ** 3:
-        raise ValueError(f"npart={param['npart']} must be a perfect cube")
     kf = 2 * np.pi / param["boxlen"]
     k_dimensionless = k / kf
     sqrtPk = (np.sqrt(Pk / param["boxlen"] ** 3) * ncells_1d ** 3).astype(F32)
-    kx, ky, kz = _wavenumbers(ncells_1d)
-    # |k|^2 is an exact small integer in grid units (components in
-    # [-n/2, n/2]), so interpolate once per unique |k|^2 value (<= 3n^2/4
-    # entries) and gather -- bit-identical to the per-cell np.interp
-    # (the table is evaluated at float32 sqrt of the same exact values)
-    # at a fraction of the cost. Integer k2 is built in intp directly:
-    # on this image's low-bandwidth host every extra 67M-element pass
-    # (an astype, np.take) costs ~2 s at 512^3.
     half = ncells_1d // 2
-    table = np.interp(
+    return np.interp(
         np.sqrt(np.arange(3 * half * half + 1, dtype=F32)),
         k_dimensionless, sqrtPk,
     ).astype(F32)
+
+
+def get_transfer_grid(param) -> np.ndarray:
+    """sqrt(P(k)) interpolated onto the |k| half grid (in grid units)."""
+    ncells_1d = int(round(float(param["npart"]) ** (1.0 / 3.0)))
+    if param["npart"] != ncells_1d ** 3:
+        raise ValueError(f"npart={param['npart']} must be a perfect cube")
+    # Integer k2 is built in intp directly: on this image's low-bandwidth
+    # host every extra 67M-element pass (an astype, np.take) costs ~2 s
+    # at 512^3.
+    half = ncells_1d // 2
+    table = transfer_table(param, ncells_1d)
     ki = ((np.arange(ncells_1d) + half) % ncells_1d - half).astype(np.intp)
     k2 = (
         (ki * ki)[:, None, None]

@@ -1,10 +1,10 @@
 """On-device LPT initial conditions.
 
-The host keeps ONLY the reference-exact RNG draw and Hermitian assembly
-(:mod:`pysco_tpu.ic` ``white_noise_*`` -- bit-parity with the reference
-stream, initial_conditions.py:585-732); the uploaded white-noise half
-grid then flows through the :mod:`pysco_tpu.ops.fourier` kernels on the
-device: inverse Laplacians, spectral gradients, Hessian products for the
+The host keeps ONLY the raw reference-exact RNG draws (bit-parity with
+the reference stream, initial_conditions.py:585-658); the uploaded draw
+arrays are assembled to Hermitian white noise x transfer on device and
+then flow through the :mod:`pysco_tpu.ops.fourier` kernels:
+inverse Laplacians, spectral gradients, Hessian products for the
 2LPT/3LPT sources (incl. the rotational Ax/Ay/Az terms), Orszag 3/2
 dealiasing, and the particle-lattice initialisation -- the reference's
 Numba+FFTW IC pipeline (initial_conditions.py:976-1680, fourier.py:104-453)
@@ -89,14 +89,104 @@ def _trim(rhs, rescale):
 
 
 @jax.jit
-def _density_to_phi1(density_k_pair):
-    """``density_k_pair`` is the white-noise half grid as a float32
-    (..., 2) real/imag stack: the axon backend cannot upload complex64
-    host arrays (batched_device_put -> UNIMPLEMENTED), so the complex
-    view is assembled on device."""
-    density_k = jax.lax.complex(density_k_pair[..., 0],
-                                density_k_pair[..., 1])
+def _density_to_phi1(density_k):
     return fourier.inverse_laplacian(density_k)
+
+
+# ---------------------------------------------------------------------------
+# White noise assembly on device
+# ---------------------------------------------------------------------------
+# The host keeps ONLY the raw reference-order uniform draws (two
+# rng.random((middle+1, n, n)) calls + 7 corner scalars -- ~2 s at 512^3
+# on this single-core host); the Rayleigh map, trig, Hermitian assembly,
+# corner fixes and transfer multiply (initial_conditions.py:585-658 +
+# the sqrt(P(k)) interpolation gather) run as one jitted program. The
+# uploaded bytes are identical to uploading the assembled grid (2 f32
+# per independent mode), but the host-side assembly (~19 s of the old
+# 21 s "draw" stage at 512^3) disappears. Device trig/log differ from
+# NumPy at ULP level, within the 5e-6 device-vs-host test tolerance
+# (the RNG stream itself stays bit-exact with the reference).
+
+
+def _hermitian_self_plane_jnp(plane):
+    """Device version of ic.py _hermitian_self_plane (last-write-wins
+    resolution of the i=0 and i=middle planes)."""
+    n = plane.shape[0]
+    j = jnp.arange(n)
+    jp = (-j) % n
+    t_up = j[:, None] * n + j[None, :]
+    t_low = jp[:, None] * n + jp[None, :]
+    lower = jnp.conj(plane[jp[:, None], jp[None, :]])
+    return jnp.where(t_low >= t_up, lower, plane)
+
+
+def _assemble_half_grid_jnp(U):
+    """Device version of ic.py _assemble_half_grid: rfft half grid
+    (n, n, middle+1) from the upper-half draws U[(middle+1), n, n]."""
+    middle_p1, n, _ = U.shape
+    middle = middle_p1 - 1
+    jp = (-jnp.arange(n)) % n
+    kp_half = (-jnp.arange(middle + 1)) % n
+    self0 = _hermitian_self_plane_jnp(U[0])[:, : middle + 1]
+    selfm = _hermitian_self_plane_jnp(U[middle])[:, : middle + 1]
+    upper = U[1:middle, :, : middle + 1]
+    # planes middle+1..n-1 hold conj(U[n-i]) reindexed; built for
+    # i = 1..middle-1 ascending then reversed to ascending plane index
+    lower = jnp.conj(U[1:middle][:, jp][:, :, kp_half])[::-1]
+    return jnp.concatenate(
+        [self0[None], upper, selfm[None], lower], axis=0
+    )
+
+
+def _k2_int_grid(n: int):
+    """Integer |k|^2 on the rfft half grid (exact; matches the intp grid
+    in ic.get_transfer_grid)."""
+    half = n // 2
+    ki = (jnp.arange(n) + half) % n - half
+    return (
+        (ki * ki)[:, None, None]
+        + (ki * ki)[None, :, None]
+        + (jnp.arange(half + 1) ** 2)[None, None, :]
+    )
+
+
+def _corner_indices(middle: int):
+    m = middle
+    return (
+        (0, 0, m), (0, m, 0), (0, m, m),
+        (m, 0, 0), (m, 0, m), (m, m, 0), (m, m, m),
+    )
+
+
+@jax.jit
+def _noise_to_density_k(amps, phases, corners, table):
+    """Rayleigh white noise -> Hermitian half grid -> x transfer
+    (ic.py white_noise_fourier + generate_density_fourier)."""
+    middle = amps.shape[0] - 1
+    phase = F32(2 * np.pi) * phases
+    amplitude = jnp.sqrt(-jnp.log(F32(1) - amps))
+    U = jax.lax.complex(amplitude * jnp.cos(phase),
+                        amplitude * jnp.sin(phase))
+    out = _assemble_half_grid_jnp(U)
+    out = out.at[0, 0, 0].set(0)
+    cvals = jnp.sqrt(-jnp.log(F32(1) - corners)).astype(C64)
+    for i, idx in enumerate(_corner_indices(middle)):
+        out = out.at[idx].set(cvals[i])
+    return out * table[_k2_int_grid(out.shape[0])]
+
+
+@jax.jit
+def _noise_fixed_to_density_k(phases, shift, table):
+    """Unit-amplitude ("fixed") variant, phase-shifted by pi when paired
+    (ic.py white_noise_fourier_fixed)."""
+    middle = phases.shape[0] - 1
+    phase = F32(2 * np.pi) * phases + shift
+    U = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+    out = _assemble_half_grid_jnp(U)
+    out = out.at[0, 0, 0].set(0)
+    for idx in _corner_indices(middle):
+        out = out.at[idx].set(1.0 + 0.0j)
+    return out * table[_k2_int_grid(out.shape[0])]
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -330,10 +420,10 @@ def compute_3c_rhs(phi1_k, phi2_k, dealias: bool, component: int):
 # Stage drivers (host loops over the per-axis programs)
 # ---------------------------------------------------------------------------
 
-def _stage_1lpt(density_k_pair, offset, dplus_1, fH_1):
+def _stage_1lpt(density_k, offset, dplus_1, fH_1):
     """phi1 + 1LPT lattice init, producing (4, n^2, n) column state
     (collapsed to (4, npart) by :func:`_collapse_cols` at the end)."""
-    phi1_k = _density_to_phi1(density_k_pair)
+    phi1_k = _density_to_phi1(density_k)
     n = phi1_k.shape[0]
     position = jnp.zeros((4, n * n, n), F32)
     velocity = jnp.zeros((4, n * n, n), F32)
@@ -428,17 +518,38 @@ def generate_lpt(param, tables):
     Hz = Hz * param["unit_t"] / (1e3 * PC_M)  # km/s/Mpc -> box units
     dealias = bool(param["dealiased_ICS"])
 
-    # host: reference-exact RNG stream -> white noise x transfer (ic.py);
-    # uploaded as a float32 real/imag stack (axon rejects complex64
-    # uploads) and assembled to complex64 inside _stage_1lpt
-    dk_host = ic_host.generate_density_fourier(param)
-    logging.warning("Host white-noise draw: %.1f s", perf_counter() - t0)
-    density_k = jnp.asarray(
-        np.stack((dk_host.real, dk_host.imag), axis=-1), dtype=np.float32
-    )
-    del dk_host
-    float(jnp.sum(density_k[:1, :1, :1]))  # upload barrier (axon)
-    logging.warning("Upload done: %.1f s", perf_counter() - t0)
+    # host: ONLY the reference-exact raw RNG draws (order matches ic.py
+    # white_noise_fourier[_fixed]: amplitudes, phases, then 7 corner
+    # scalars); everything downstream of the stream -- Rayleigh map,
+    # trig, Hermitian assembly, transfer multiply -- runs on the device.
+    # Uploads are the raw f32 draw arrays (axon rejects complex64).
+    ncells_1d = int(round(float(param["npart"]) ** (1.0 / 3.0)))
+    middle = ncells_1d // 2
+    seed = int(param["seed"])
+    rng = (np.random.default_rng(seed) if seed >= 0
+           else np.random.default_rng())
+    table = jnp.asarray(ic_host.transfer_table(param, ncells_1d))
+    if bool(param["fixed_ICS"]):
+        phases = rng.random((middle + 1, ncells_1d, ncells_1d), dtype=np.float32)
+        logging.warning("Host RNG draw: %.1f s", perf_counter() - t0)
+        shift = jnp.float32(np.pi if bool(param["paired_ICS"]) else 0.0)
+        density_k = _noise_fixed_to_density_k(
+            jnp.asarray(phases), shift, table
+        )
+    else:
+        amps = rng.random((middle + 1, ncells_1d, ncells_1d), dtype=np.float32)
+        phases = rng.random((middle + 1, ncells_1d, ncells_1d), dtype=np.float32)
+        corners = rng.random(7, dtype=np.float32)
+        logging.warning("Host RNG draw: %.1f s", perf_counter() - t0)
+        density_k = _noise_to_density_k(
+            jnp.asarray(amps), jnp.asarray(phases), jnp.asarray(corners),
+            table,
+        )
+        del amps
+    del phases
+    float(jnp.sum(jnp.abs(density_k[:1, :1, :1])))  # upload+assembly barrier
+    logging.warning("Upload + device noise assembly done: %.1f s",
+                    perf_counter() - t0)
 
     dplus_1_z0 = tables[3](0)
     dplus_1 = np.float32(tables[3](lna_start) / dplus_1_z0)

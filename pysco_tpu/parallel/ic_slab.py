@@ -225,12 +225,82 @@ def _add_nlpt_cols(position, velocity, src_k, m, n_dev, n_local,
     return position, velocity
 
 
+def _flip_y(u, n_dev: int):
+    """Global y-flip (index j -> (-j) % n) of an axis-1-sharded block:
+    local reverse + shard-order reversal, then a one-plane roll."""
+    if n_dev == 1:
+        return jnp.roll(u[:, ::-1], 1, axis=1)
+    rev = lax.ppermute(u[:, ::-1], AXIS,
+                       [(i, n_dev - 1 - i) for i in range(n_dev)])
+    last = lax.ppermute(rev[:, -1:], AXIS, slab._perm_fwd(n_dev))
+    return jnp.concatenate([last, rev[:, :-1]], axis=1)
+
+
+def _make_noise_to_density_k(mesh, n: int, n_dev: int, fixed: bool):
+    """Sharded counterpart of ic_device._noise_to_density_k: raw uniform
+    draws (axis-1/y sharded) -> Hermitian white noise x transfer on the
+    (n, n/D, n/2+1) pencil. Only the Hermitian lower-plane build and the
+    two self-planes communicate (one y-flip ppermute pair + two tiny
+    plane all_gathers); everything else is local elementwise."""
+    from ..ic_device import _hermitian_self_plane_jnp
+
+    c = n // n_dev
+    middle = n // 2
+
+    def fn(draw_a, draw_b, corners, table):
+        r = lax.axis_index(AXIS)
+        if fixed:
+            # draw_a = phases, draw_b unused, corners[0] = paired shift
+            phase = F32(2 * np.pi) * draw_a + corners[0]
+            U = lax.complex(jnp.cos(phase), jnp.sin(phase))
+            cvals = jnp.ones(7, jnp.complex64)
+        else:
+            phase = F32(2 * np.pi) * draw_b
+            amplitude = jnp.sqrt(-jnp.log(F32(1) - draw_a))
+            U = lax.complex(amplitude * jnp.cos(phase),
+                            amplitude * jnp.sin(phase))
+            cvals = jnp.sqrt(-jnp.log(F32(1) - corners)).astype(jnp.complex64)
+        u0 = lax.all_gather(U[0], AXIS, axis=0, tiled=True)
+        um = lax.all_gather(U[middle], AXIS, axis=0, tiled=True)
+        s0 = _hermitian_self_plane_jnp(u0)[:, : middle + 1]
+        sm = _hermitian_self_plane_jnp(um)[:, : middle + 1]
+        s0 = lax.dynamic_slice_in_dim(s0, r * c, c, 0)
+        sm = lax.dynamic_slice_in_dim(sm, r * c, c, 0)
+        upper = U[1:middle, :, : middle + 1]
+        kp_half = (-jnp.arange(middle + 1)) % n
+        lower = jnp.conj(_flip_y(U[1:middle], n_dev)[:, :, kp_half])[::-1]
+        out = jnp.concatenate([s0[None], upper, sm[None], lower], axis=0)
+        # zero mode + the 7 corner draws (ic.py corner fixes, same order)
+        for i, (x, y, z) in enumerate((
+            (0, 0, 0),
+            (0, 0, middle), (0, middle, 0), (0, middle, middle),
+            (middle, 0, 0), (middle, 0, middle), (middle, middle, 0),
+            (middle, middle, middle),
+        )):
+            val = jnp.complex64(0) if i == 0 else cvals[i - 1]
+            out = out.at[x, y % c, z].set(
+                jnp.where(r == y // c, val, out[x, y % c, z])
+            )
+        # transfer multiply: integer |k|^2 gather on the local y block
+        half = middle
+        kx = ((jnp.arange(n) + half) % n - half)
+        ky = ((r * c + jnp.arange(c) + half) % n - half)
+        k2 = ((kx * kx)[:, None, None] + (ky * ky)[None, :, None]
+              + (jnp.arange(half + 1) ** 2)[None, None, :])
+        return out * table[k2]
+
+    return jax.jit(shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(None, AXIS, None), P(None, AXIS, None), P(), P()),
+        out_specs=P(None, AXIS, None),
+    ))
+
+
 def _make_stage_1lpt(mesh, m, n_dev, cap):
     """density_k pencil -> (phi1_k pencil, per-shard lattice columns)."""
     n_local = (m // n_dev) * m * m  # lattice sites per shard
 
-    def fn(dk_pair, offset, dplus_1, fH_1):
-        density_k = lax.complex(dk_pair[..., 0], dk_pair[..., 1])
+    def fn(density_k, offset, dplus_1, fH_1):
         phi1_k = slab.inverse_laplacian_slab(density_k, m, 0)
         r = lax.axis_index(AXIS)
         planes = m // n_dev
@@ -254,7 +324,7 @@ def _make_stage_1lpt(mesh, m, n_dev, cap):
 
     return jax.jit(shard_map(
         fn, mesh=mesh,
-        in_specs=(P(None, AXIS, None, None), P(), P(), P()),
+        in_specs=(P(None, AXIS, None), P(), P(), P()),
         out_specs=(P(None, AXIS, None), P(None, AXIS), P(None, AXIS)),
         check_vma=False,
     ))
@@ -374,16 +444,36 @@ def generate_lpt_slab(param, tables, mesh: Mesh):
     slack = float(param.get("slab_slack", 1.25))
     cap = slab.shard_capacity(npart, n_dev, slack)
 
-    # host: reference-exact RNG stream -> white noise x transfer, then
-    # upload straight into the sharded pencil layout (y split; axon
-    # rejects complex64 uploads, so real/imag stack)
-    dk_host = ic_host.generate_density_fourier(param)
-    shard_k4 = NamedSharding(mesh, P(None, AXIS, None, None))
-    density_k = jax.device_put(
-        np.stack((dk_host.real, dk_host.imag), axis=-1).astype(np.float32),
-        shard_k4,
+    # host: ONLY the raw reference-exact RNG draws (same order as ic.py
+    # white_noise_fourier[_fixed]), uploaded straight into the sharded
+    # y-pencil layout; Rayleigh map, trig, Hermitian assembly and the
+    # transfer multiply run distributed (_make_noise_to_density_k)
+    middle = n_p // 2
+    seed = int(param["seed"])
+    rng = (np.random.default_rng(seed) if seed >= 0
+           else np.random.default_rng())
+    fixed = bool(param["fixed_ICS"])
+    shard_draw = NamedSharding(mesh, P(None, AXIS, None))
+    table = jnp.asarray(ic_host.transfer_table(param, n_p))
+    if fixed:
+        phases = rng.random((middle + 1, n_p, n_p), dtype=np.float32)
+        draw_a = jax.device_put(phases, shard_draw)
+        draw_b = draw_a  # unused in the fixed variant
+        corners = jnp.full(
+            7, np.pi if bool(param["paired_ICS"]) else 0.0, jnp.float32
+        )  # corners[0] carries the paired phase shift
+    else:
+        amps = rng.random((middle + 1, n_p, n_p), dtype=np.float32)
+        phases = rng.random((middle + 1, n_p, n_p), dtype=np.float32)
+        draw_a = jax.device_put(amps, shard_draw)
+        draw_b = jax.device_put(phases, shard_draw)
+        corners = jnp.asarray(rng.random(7, dtype=np.float32))
+        del amps
+    del phases
+    density_k = _make_noise_to_density_k(mesh, n_p, n_dev, fixed)(
+        draw_a, draw_b, corners, table
     )
-    del dk_host
+    del draw_a, draw_b
 
     dplus_1_z0 = tables[3](0)
     dplus_1 = np.float32(tables[3](lna_start) / dplus_1_z0)

@@ -63,3 +63,28 @@ def test_device_ic_matches_host(tmp_path, order, dealias):
 
     # snapshot written by the device path too
     assert list((tmp_path / "run" / "output_00000").glob("particles_*"))
+
+
+@pytest.mark.parametrize("paired", [False, True])
+def test_device_ic_matches_host_fixed(tmp_path, paired):
+    """Fixed-amplitude (and paired) variant: exercises the device-side
+    _noise_fixed_to_density_k assembly against the host path."""
+    param = dict(_param(tmp_path, "1LPT", False))
+    param["fixed_ICS"] = True
+    param["paired_ICS"] = paired
+    param["aexp"] = 1.0 / (1 + param["z_start"])
+    tables = cosmo.generate(param)
+
+    param_h = dict(param)
+    param_h["base"] = str(tmp_path / "host")
+    (tmp_path / "host" / "output_00000").mkdir(parents=True)
+    pos_h, vel_h = ic.generate(param_h, tables)
+
+    assert ic_device.supported(param)
+    pos_cols, vel_cols = ic_device.generate_lpt(param, tables)
+    cfg = solver_mod.config_from_param(param)
+    pos_d, vel_d = solver_mod.particles_to_rows(cfg, pos_cols, vel_cols)
+
+    assert pos_d.shape == pos_h.shape
+    assert np.all(_wrap_dist(pos_d, np.asarray(pos_h)) < 5e-6)
+    np.testing.assert_allclose(vel_d, vel_h, atol=5e-6, rtol=1e-4)

@@ -85,6 +85,31 @@ def test_slab_ic_matches_single_device(tmp_path, order, dealias):
     assert ts.shape == (NDEV * ((m // NDEV) * (m // pallas_pm.YB) + 1),)
 
 
+def test_slab_ic_fixed_paired_matches_single_device(tmp_path):
+    """Fixed-amplitude paired variant through the sharded noise assembly
+    (_make_noise_to_density_k fixed=True branch)."""
+    param = dict(_param(tmp_path, "1LPT", False))
+    param["fixed_ICS"] = True
+    param["paired_ICS"] = True
+    param["aexp"] = 1.0 / (1 + param["z_start"])
+    tables = cosmo.generate(param)
+
+    mesh = slab.make_mesh(NDEV)
+    assert ic_slab.supported(param, NDEV)
+    pos_s, vel_s, *_ = ic_slab.generate_lpt_slab(param, tables, mesh)
+    cfg = solver_mod.config_from_param(param)
+    pos_rows, vel_rows = slab.gather_particles(cfg, NDEV, pos_s, vel_s)
+
+    param_d = dict(param, parallel_mode="single")
+    pos_cols, vel_cols = ic_device.generate_lpt(param_d, tables)
+    pos_1, vel_1 = solver_mod.particles_to_rows(cfg, pos_cols, vel_cols)
+
+    assert np.all(_wrap_dist(pos_rows, pos_1) < 5e-6)
+    scale = max(np.abs(vel_1).max(), 1e-12)
+    np.testing.assert_allclose(vel_rows, vel_1, atol=5e-6 * scale + 5e-8,
+                               rtol=0)
+
+
 def test_slab_ic_run_end_to_end(tmp_path):
     """pysco_tpu.run with parallel_mode=slab takes the sharded device IC
     path (no host distribution) and steps fine."""
