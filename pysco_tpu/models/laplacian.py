@@ -193,6 +193,42 @@ def _run_sweeps(sweep, red, black, n_smoothing: int):
     return red, black
 
 
+def _use_pallas_sweeps(n: int, injected: bool) -> bool:
+    """Plane-pipelined Pallas sweeps (ops/pallas_stencil.py) for large
+    grids on the TPU backend: identical operation order (agreement to
+    float32 roundoff) at ~1/5 the HBM traffic of the XLA roll chain. Coarse multigrid levels and the
+    slab-sharded smoothers (which inject their own packing/halo
+    primitives) stay on the XLA path."""
+    from ..ops import pallas_stencil as ps
+
+    return (
+        not injected
+        and n >= ps.PALLAS_MIN_N
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _smoothing_packed_pallas(x, b, n_smoothing: int, rhs=None,
+                             f_relax: float = F_RELAX):
+    """Pallas fast path of :func:`_smoothing_packed` (same operation
+    order; agreement to f32 roundoff, tests/test_pallas_stencil.py)."""
+    from ..ops import pallas_stencil as ps
+
+    n = x.shape[1]
+    red, black = pack_rb(x)
+    h2b_r, h2b_b = pack_rb(F32(1.0 / (n * n)) * b)
+    rhs_r, rhs_b = pack_rb(rhs) if rhs is not None else (None, None)
+
+    def sweep(_, carry):
+        red, black = carry
+        red = ps.half_sweep(black, red, h2b_r, True, f_relax, rhs_r)
+        black = ps.half_sweep(red, black, h2b_b, False, f_relax, rhs_b)
+        return red, black
+
+    red, black = _run_sweeps(sweep, red, black, n_smoothing)
+    return unpack_rb(red, black)
+
+
 def _smoothing_packed(x, b, n_smoothing: int, rhs=None,
                       f_relax: float = F_RELAX,
                       pack=None, unpack=None, neighbour_sum=None):
@@ -202,6 +238,8 @@ def _smoothing_packed(x, b, n_smoothing: int, rhs=None,
     smoother (parallel/slab_mg.smoothing_slab: global-parity packing,
     x-neighbours via a 1-plane halo exchange) shares this driver instead
     of duplicating it."""
+    if _use_pallas_sweeps(x.shape[1], pack is not None):
+        return _smoothing_packed_pallas(x, b, n_smoothing, rhs, f_relax)
     pack = pack or pack_rb
     unpack = unpack or unpack_rb
     neighbour_sum = neighbour_sum or packed_neighbour_sum
@@ -272,6 +310,22 @@ def packed_scalaron_smoothing(x, b, q, n_smoothing: int, rhs,
         else:
             r_r, r_b = pack(rhs)
             coef_r, coef_b = c0_q - r_r, c0_q - r_b
+
+    if not exact_root and _use_pallas_sweeps(n, pack is not pack_rb):
+        from ..ops import pallas_stencil as ps
+
+        def sweep(_, carry):
+            red, black = carry
+            red = ps.scalaron_half_sweep(
+                black, red, hb_r, coef_r, True, F_RELAX, n_power
+            )
+            black = ps.scalaron_half_sweep(
+                red, black, hb_b, coef_b, False, F_RELAX, n_power
+            )
+            return red, black
+
+        red, black = _run_sweeps(sweep, red, black, n_smoothing)
+        return unpack(red, black)
 
     def update(x_half, other, hb, coef, to_red):
         xp = other * other if n_power == 2 else other * other * other
