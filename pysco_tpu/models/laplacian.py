@@ -56,32 +56,55 @@ def residual(x: jax.Array, b: jax.Array) -> jax.Array:
 
 def residual_error(x: jax.Array, b: jax.Array) -> jax.Array:
     """sqrt(sum((b - Lx)^2)) -- linear multigrid convergence metric."""
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        return jnp.sqrt(ps.residual_norm2("linear", x, b))
     r = residual(x, b)
     return jnp.sqrt(jnp.sum(r * r))
 
 
 def residual_error_reformulated(x: jax.Array, b: jax.Array) -> jax.Array:
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        return jnp.sqrt(ps.residual_norm2("reformulated", x, b))
     r = operator_reformulated(x, b)
     return jnp.sqrt(jnp.sum(r * r))
 
 
 def restrict_residual(x: jax.Array, b: jax.Array) -> jax.Array:
     """Restriction of (b - Lx) to the coarse grid."""
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        return ps.restrict3("linear", x, b)[0]
     return mesh.restriction(residual(x, b))
 
 
 def truncation_error(x: jax.Array) -> jax.Array:
     """||restriction(L x) - L(restriction(x))||_2 (Numerical Recipes)."""
-    t = mesh.restriction(operator(x)) - operator(mesh.restriction(x))
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        RLx, Rx = ps.restrict3("laplacian", x)
+        t = RLx - operator(Rx)
+    else:
+        t = mesh.restriction(operator(x)) - operator(mesh.restriction(x))
     return jnp.sqrt(jnp.sum(t * t))
 
 
 def truncation_error_reformulated(x: jax.Array, b: jax.Array) -> jax.Array:
     """FAS variant with the x4 coarse-grid correction
     (laplacian_reformulated.py:201-258)."""
-    RLx = mesh.restriction(operator_reformulated(x, b))
-    LRx = operator_reformulated(mesh.restriction(x), mesh.restriction(b))
-    t = F32(4) * RLx - LRx
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        RLx, x_c, b_c = ps.restrict3("reformulated", x, b)
+    else:
+        RLx = mesh.restriction(operator_reformulated(x, b))
+        x_c, b_c = mesh.restriction(x), mesh.restriction(b)
+    t = F32(4) * RLx - operator_reformulated(x_c, b_c)
     return jnp.sqrt(jnp.sum(t * t))
 
 

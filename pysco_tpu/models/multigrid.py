@@ -79,6 +79,25 @@ class FASOps:
     restrict_residual: Callable
     residual_error: Callable
     truncation_error: Callable
+    #: (x, b, rhs) -> (restrict_residual(x, b, rhs), R(x), R(b)) -- the
+    #: FAS cycles consume all three, so the implementations fuse them
+    #: into ONE fine-lattice pass (ops/pallas_stencil.restrict3) instead
+    #: of three separate full-grid reads.
+    restrict_all: Callable
+
+
+def _restrict_all_fused(kind: str, restrict_residual, x, b, rhs, q=None):
+    """Shared restrict_all implementation: the fused Pallas pass when the
+    full-lattice gate allows, else the three XLA calls."""
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        res_c, x_c, b_c = ps.restrict3(kind, x, b, rhs=rhs, q=q)
+        if rhs is None:
+            res_c = -res_c
+        return res_c, x_c, b_c
+    return (restrict_residual(x, b, rhs), mesh.restriction(x),
+            mesh.restriction(b))
 
 
 def fas_ops_laplacian() -> FASOps:
@@ -98,6 +117,8 @@ def fas_ops_laplacian() -> FASOps:
         restrict_residual=restrict_residual,
         residual_error=lap.residual_error_reformulated,
         truncation_error=lap.truncation_error_reformulated,
+        restrict_all=lambda x, b, rhs=None: _restrict_all_fused(
+            "reformulated", restrict_residual, x, b, rhs),
     )
 
 
@@ -119,6 +140,8 @@ def fas_ops_cubic(q, exact_root: bool = False) -> FASOps:
         restrict_residual=restrict_residual,
         residual_error=lambda x, b: cubic_mod.residual_error(x, b, q),
         truncation_error=lambda x, b: cubic_mod.truncation_error(x, b, q),
+        restrict_all=lambda x, b, rhs=None: _restrict_all_fused(
+            "cubic", restrict_residual, x, b, rhs, q=q),
     )
 
 
@@ -140,6 +163,8 @@ def fas_ops_quartic(q, exact_root: bool = False) -> FASOps:
         restrict_residual=restrict_residual,
         residual_error=lambda x, b: quartic_mod.residual_error(x, b, q),
         truncation_error=lambda x, b: quartic_mod.truncation_error(x, b, q),
+        restrict_all=lambda x, b, rhs=None: _restrict_all_fused(
+            "quartic", restrict_residual, x, b, rhs, q=q),
     )
 
 
@@ -255,9 +280,7 @@ def V_cycle_FAS(
     level: int = 0, rhs: Optional[jax.Array] = None,
 ):
     x = ops.smoothing(x, b, Npre, rhs)
-    res_c = ops.restrict_residual(x, b, rhs)
-    x_c = mesh.restriction(x)
-    b_c = mesh.restriction(b)
+    res_c, x_c, b_c = ops.restrict_all(x, b, rhs)
     res_c = F32(4) * res_c + ops.operator(x_c, b_c)
     if _coarsest(level, ncoarse):
         x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
@@ -276,9 +299,7 @@ def F_cycle_FAS(
     """FAS F-cycle (reference multigrid.py:642-719): an F-recursion first
     leg, then a V-cycle second leg, Npre smoothing between legs."""
     x = ops.smoothing(x, b, Npre, rhs)
-    res_c = ops.restrict_residual(x, b, rhs)
-    x_c = mesh.restriction(x)
-    b_c = mesh.restriction(b)
+    res_c, x_c, b_c = ops.restrict_all(x, b, rhs)
     res_c = F32(4) * res_c + ops.operator(x_c, b_c)
     if _coarsest(level, ncoarse):
         x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
@@ -289,8 +310,7 @@ def F_cycle_FAS(
     x = mesh.add_prolongation(x, x_corr_c - x_c)
     x = ops.smoothing(x, b, Npre, rhs)
 
-    res_c = ops.restrict_residual(x, b, rhs)
-    x_c = mesh.restriction(x)
+    res_c, x_c, _ = ops.restrict_all(x, b, rhs)
     res_c = F32(4) * res_c + ops.operator(x_c, b_c)
     if _coarsest(level, ncoarse):
         x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)
@@ -308,9 +328,7 @@ def W_cycle_FAS(
 ):
     for last in (False, True):
         x = ops.smoothing(x, b, Npre, rhs)
-        res_c = ops.restrict_residual(x, b, rhs)
-        x_c = mesh.restriction(x)
-        b_c = mesh.restriction(b)
+        res_c, x_c, b_c = ops.restrict_all(x, b, rhs)
         res_c = F32(4) * res_c + ops.operator(x_c, b_c)
         if _coarsest(level, ncoarse):
             x_corr_c = ops.smoothing(x_c, b_c, Npre, res_c)

@@ -100,24 +100,41 @@ def residual_with_rhs(x: jax.Array, b: jax.Array, q, rhs: jax.Array) -> jax.Arra
 
 
 def residual_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        return jnp.sqrt(ps.residual_norm2("quartic", x, b, q=q))
     r = operator(x, b, q)
     return jnp.sqrt(jnp.sum(r * r))
 
 
 def restrict_residual(x: jax.Array, b: jax.Array, q) -> jax.Array:
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        return -ps.restrict3("quartic", x, b, q=q)[0]
     return mesh.minus_restriction(operator(x, b, q))
 
 
 def restrict_residual_with_rhs(
     x: jax.Array, b: jax.Array, q, rhs: jax.Array
 ) -> jax.Array:
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        return ps.restrict3("quartic", x, b, rhs=rhs, q=q)[0]
     return mesh.restriction(residual_with_rhs(x, b, q, rhs))
 
 
 def truncation_error(x: jax.Array, b: jax.Array, q) -> jax.Array:
-    RLx = mesh.restriction(operator(x, b, q))
-    LRx = operator(mesh.restriction(x), mesh.restriction(b), q)
-    t = F32(4) * RLx - LRx
+    from ..ops import pallas_stencil as ps
+
+    if ps.use_pallas_full(x.shape[0]):
+        RLx, x_c, b_c = ps.restrict3("quartic", x, b, q=q)
+    else:
+        RLx = mesh.restriction(operator(x, b, q))
+        x_c, b_c = mesh.restriction(x), mesh.restriction(b)
+    t = F32(4) * RLx - operator(x_c, b_c, q)
     return jnp.sqrt(jnp.sum(t * t))
 
 

@@ -325,6 +325,10 @@ def prolongation(x: jax.Array) -> jax.Array:
 
 
 def add_prolongation(y: jax.Array, x: jax.Array) -> jax.Array:
+    from . import pallas_stencil as ps
+
+    if ps.use_pallas_full(y.shape[0]):
+        return ps.add_prolongation(y, x)
     return y + prolongation(x)
 
 

@@ -252,3 +252,345 @@ def scalaron_half_sweep(src, dst, hb, coef, to_red: bool, f_relax: float,
     if not coef_is_plane:
         coef = coef.reshape(1, 1)
     return _call(kernel, src, (dst, hb, coef))
+
+
+# ===========================================================================
+# Full-lattice plane-pipelined kernels: the remaining multigrid bandwidth
+# hogs (residual norms, restriction of residuals, trilinear prolongation).
+#
+# Same streaming structure as the half-lattice sweeps above: blocks of
+# x-planes ride the Pallas pipeline with two periodic single-plane halo
+# views; y/z neighbours are sublane/lane rolls inside the block. The
+# 2x2x2 restriction and the 2x-per-axis trilinear prolongation are done
+# as exact-weight matmuls on the MXU (pair-sum / expansion matrices built
+# from iotas) -- stride-2 indexing on the lane axis does not lower well
+# on Mosaic, a (n, n/2) one-hot contraction does. On-chip profile
+# motivating this (tools/mg_profile.py, 256^3): residual_error 4.29 ms,
+# truncation_error 4.51 ms, V_cycle 12.64 ms -- all ~4x above their HBM
+# bound because XLA materialises every roll.
+#
+# Numerics: neighbour additions run in the reference order (x-, x+, y-,
+# y+, z-, z+; laplacian.neighbour_sum, cubic._neighbour_sq_sum); the
+# restriction pair sums and prolongation weights go through the MXU at
+# HIGHEST precision (bf16x6 passes), so results agree with the XLA path
+# to float32 roundoff rather than bit-exactly. Reductions (norm2) sum
+# per-plane-block partials, which reassociates the grid sum -- the norms
+# feed tolerance comparisons, not the solution.
+# ===========================================================================
+
+#: residual kinds -> (neighbour power, needs b)
+_KINDS = {
+    "linear": (1, True),        # b - Laplacian(x)        (laplacian.residual)
+    "laplacian": (1, False),    # Laplacian(x)            (truncation_error)
+    "reformulated": (1, True),  # x + (h^2 b - S)/6       (operator_reformulated)
+    "cubic": (2, True),         # x^3 + p x + q h^2       (cubic.operator)
+    "quartic": (3, True),       # x^4 + p x + q h^2       (quartic.operator)
+}
+
+
+def use_pallas_full(n: int) -> bool:
+    """Gate for the full-lattice kernels: large grids on the TPU backend.
+    Callers in models/ are only reached with replicated (non-sharded)
+    arrays -- the slab path has its own halo-aware operators."""
+    return n >= PALLAS_MIN_N and jax.default_backend() == "tpu"
+
+
+def _pow(x, power: int):
+    if power == 1:
+        return x
+    if power == 2:
+        return x * x
+    return x * x * x
+
+
+def _full_neighbour_sum(prev1, cen, nxt1, power: int):
+    """Neighbour sum of x^power over the full lattice for the centre
+    block, in the reference order x-, x+, y-, y+, z-, z+. ``prev1`` /
+    ``nxt1`` are single periodic halo planes."""
+    b = cen.shape[0]
+    ext = jnp.concatenate([_pow(prev1, power), _pow(cen, power),
+                           _pow(nxt1, power)], axis=0)
+    cp = ext[1:b + 1]
+    return (
+        ext[:b]
+        + ext[2:b + 2]
+        + jnp.roll(cp, 1, axis=1)
+        + jnp.roll(cp, -1, axis=1)
+        + jnp.roll(cp, 1, axis=2)
+        + jnp.roll(cp, -1, axis=2)
+    )
+
+
+def _residual_block(kind: str, n: int, x, S, b, q, rhs):
+    """The per-cell residual expression of ``kind`` on one plane block
+    (same expressions as models/laplacian.py, cubic.py, quartic.py).
+    ``S`` is the neighbour sum of x^power; ``rhs`` (optional) flips the
+    expression to rhs - op."""
+    h2 = NF32(1.0 / (n * n))
+    if kind == "linear":
+        r = b - (S - NF32(6.0) * x) * NF32(float(n) * float(n))
+    elif kind == "laplacian":
+        r = (S - NF32(6.0) * x) * NF32(float(n) * float(n))
+    elif kind == "reformulated":
+        r = x + NF32(1.0 / 6.0) * (h2 * b - S)
+    else:
+        p = h2 * b - NF32(1.0 / 6.0) * S
+        if kind == "cubic":
+            r = x * x * x + p * x + q * h2
+        else:
+            x2 = x * x
+            r = x2 * x2 + p * x + q * h2
+    if rhs is not None:
+        r = rhs - r
+    return r
+
+
+def _hipdot(a, b):
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=F32)
+
+
+def _pair_mats(n: int):
+    """Exact 0/1 pair-sum matrices for the 2x2x2 restriction:
+    PyT (n/2, n) sums sublane pairs from the left, Pz (n, n/2) sums lane
+    pairs from the right."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+    Pz = ((i0 >> 1) == i1).astype(F32)
+    j0 = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    PyT = ((j1 >> 1) == j0).astype(F32)
+    return PyT, Pz
+
+
+def _restrict_block(r):
+    """(2*CB, n, n) fine block -> (CB, n/2, n/2) full-weighting
+    restriction (mean over 2x2x2 children, mesh.restriction)."""
+    cb2, n, _ = r.shape
+    PyT, Pz = _pair_mats(n)
+    planes = []
+    for j in range(cb2 // 2):
+        pa = _hipdot(PyT, _hipdot(r[2 * j], Pz))
+        pb = _hipdot(PyT, _hipdot(r[2 * j + 1], Pz))
+        planes.append(NF32(0.125) * (pa + pb))
+    return jnp.stack(planes, axis=0)
+
+
+def _full_specs(n: int, depth: int, n_extras: int, extras):
+    """BlockSpecs for a full-lattice kernel consuming ``depth`` x-planes
+    of the stencil source per grid step (+ 2 periodic halo planes) and
+    ``depth``-plane centre blocks of each 3D extra; (1, 1) extras ride
+    SMEM. Returns (grid, in_specs)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    Z = np.int32(0)
+
+    def to32(i):
+        return i.astype(jnp.int32) if hasattr(i, "astype") else np.int32(i)
+
+    def halo(d):
+        def f(i):
+            return (jax.lax.rem(to32(i) * np.int32(depth) + np.int32(n + d),
+                                np.int32(n)), Z, Z)
+
+        return f
+
+    centre = lambda i: (to32(i), Z, Z)  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, n, n), halo(-1)),
+        pl.BlockSpec((depth, n, n), centre),
+        pl.BlockSpec((1, n, n), halo(depth)),
+    ]
+    for a in extras:
+        if a.ndim == 3:
+            in_specs.append(pl.BlockSpec((depth, n, n), centre))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, 1), lambda i: (Z, Z), memory_space=pltpu.SMEM))
+    return n // depth, in_specs
+
+
+def _depth_for(n: int, n_plane_ops: int, choices=(8, 4, 2, 1)) -> int:
+    """Largest per-step plane depth whose double-buffered working set
+    (2 halo planes + n_plane_ops depth-plane operands) fits VMEM."""
+    pb = n * n * 4
+    for d in choices:
+        if n % d == 0 and (2 + d * n_plane_ops) * pb * 2 <= _VMEM_BUDGET:
+            return d
+    return 1
+
+
+def _gather_extras(kind: str, b, rhs, q):
+    power, needs_b = _KINDS[kind]
+    extras = []
+    if needs_b:
+        extras.append(b)
+    if rhs is not None:
+        extras.append(rhs)
+    if kind in ("cubic", "quartic"):
+        extras.append(jnp.asarray(q, F32).reshape(1, 1))
+    return power, needs_b, extras
+
+
+def residual_norm2(kind: str, x, b=None, rhs=None, q=None):
+    """Sum of squares of the ``kind`` residual over the full lattice
+    (callers take sqrt). One streaming pass; partial sums per plane
+    block."""
+    n = x.shape[0]
+    power, needs_b, extras = _gather_extras(kind, b, rhs, q)
+    n_plane = 1 + sum(1 for a in extras if a.ndim == 3)
+    depth = _depth_for(n, n_plane)
+    grid, in_specs = _full_specs(n, depth, len(extras), extras)
+
+    def kernel(prev_ref, cen_ref, nxt_ref, *rest):
+        refs = list(rest)
+        out_ref = refs.pop()
+        bb = refs.pop(0)[...] if needs_b else None
+        rr = refs.pop(0)[...] if rhs is not None else None
+        qq = refs.pop(0)[0, 0] if kind in ("cubic", "quartic") else None
+        xc = cen_ref[...]
+        S = _full_neighbour_sum(prev_ref[...], xc, nxt_ref[...], power)
+        r = _residual_block(kind, n, xc, S, bb, qq, rr)
+        # Mosaic needs the two minor block dims tiled (8, 128): pad the
+        # per-step partial row to an (8, n) block (rows 1-7 zero).
+        v = jnp.sum(r * r, axis=(0, 1)).reshape(1, n)
+        pad = jnp.concatenate([v, jnp.zeros((7, n), F32)], axis=0)
+        out_ref[...] = pad.reshape(1, 8, n)
+
+    Z = np.int32(0)
+    partial = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 8, n), lambda i: (i.astype(jnp.int32)
+                                  if hasattr(i, "astype") else np.int32(i),
+                                  Z, Z)),
+        out_shape=jax.ShapeDtypeStruct((grid, 8, n), F32),
+        interpret=_interpret(),
+    )(x, x, x, *extras)
+    return jnp.sum(partial)
+
+
+def restrict3(kind: str, x, b=None, rhs=None, q=None):
+    """Fused restriction pass: one read of the fine lattice yields
+    (restriction(r), restriction(x)[, restriction(b)]) where r is the
+    ``kind`` residual (rhs - op when ``rhs`` is given). Replaces the
+    XLA chain residual -> reduce_window (+ 2 more full reads for the FAS
+    x_c / b_c restrictions)."""
+    n = x.shape[0]
+    power, needs_b, extras = _gather_extras(kind, b, rhs, q)
+    n_plane = 2 + sum(2 for a in extras if a.ndim == 3)  # 2CB deep each
+    cb = _depth_for(n, n_plane, choices=(4, 2, 1))
+    depth = 2 * cb
+    grid, in_specs = _full_specs(n, depth, len(extras), extras)
+    m = n // 2
+
+    def kernel(prev_ref, cen_ref, nxt_ref, *rest):
+        refs = list(rest)
+        outs = [refs.pop() for _ in range(2 + int(needs_b))][::-1]
+        bb = refs.pop(0)[...] if needs_b else None
+        rr = refs.pop(0)[...] if rhs is not None else None
+        qq = refs.pop(0)[0, 0] if kind in ("cubic", "quartic") else None
+        xc = cen_ref[...]
+        S = _full_neighbour_sum(prev_ref[...], xc, nxt_ref[...], power)
+        r = _residual_block(kind, n, xc, S, bb, qq, rr)
+        outs[0][...] = _restrict_block(r)
+        outs[1][...] = _restrict_block(xc)
+        if needs_b:
+            outs[2][...] = _restrict_block(bb)
+
+    Z = np.int32(0)
+    centre_c = lambda i: (i.astype(jnp.int32)  # noqa: E731
+                          if hasattr(i, "astype") else np.int32(i), Z, Z)
+    n_out = 2 + int(needs_b)
+    out = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec((cb, m, m), centre_c)
+                        for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((m, m, m), F32)
+                        for _ in range(n_out)),
+        interpret=_interpret(),
+    )(x, x, x, *extras)
+    return out
+
+
+def _expand_mats(m: int):
+    """Trilinear 2x expansion matrices (mesh._prolong_axis weights):
+    Ey (2m, m) expands sublanes from the left, Ez (m, 2m) lanes from the
+    right. Fine even row 2r = 0.75 x[r] + 0.25 x[(r-1) % m]; odd row
+    2r+1 = 0.75 x[r] + 0.25 x[(r+1) % m]."""
+    n = 2 * m
+    m32 = np.int32(m)  # keep arithmetic i32 under jax_enable_x64
+    f = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, m), 1)
+    r = f >> 1
+    odd = f & 1
+    side = jax.lax.rem(r - np.int32(1) + np.int32(2) * odd + m32, m32)
+    Ey = (NF32(0.75) * (c == r).astype(F32)
+          + NF32(0.25) * (c == side).astype(F32))
+    fz = jax.lax.broadcasted_iota(jnp.int32, (m, n), 1)
+    cz = jax.lax.broadcasted_iota(jnp.int32, (m, n), 0)
+    rz = fz >> 1
+    oddz = fz & 1
+    sidez = jax.lax.rem(rz - np.int32(1) + np.int32(2) * oddz + m32, m32)
+    Ez = (NF32(0.75) * (cz == rz).astype(F32)
+          + NF32(0.25) * (cz == sidez).astype(F32))
+    return Ey, Ez
+
+
+def add_prolongation(y, x_c):
+    """y + trilinear_prolongation(x_c) in one streaming pass over the
+    fine lattice (mesh.add_prolongation). The coarse lattice rides the
+    pipeline as CB-plane centre blocks + 2 periodic halo planes; the
+    in-plane 2x expansions are MXU matmuls."""
+    n = y.shape[0]
+    m = n // 2
+    # plane budget: fine y in + fine out (2CB each) dominate; coarse is 1/4
+    cb = _depth_for(n, 5, choices=(4, 2, 1))
+    depth = 2 * cb
+    grid = m // cb
+    Z = np.int32(0)
+
+    def to32(i):
+        return i.astype(jnp.int32) if hasattr(i, "astype") else np.int32(i)
+
+    def halo_c(d):
+        def f(i):
+            return (jax.lax.rem(to32(i) * np.int32(cb) + np.int32(m + d),
+                                np.int32(m)), Z, Z)
+
+        return f
+
+    centre_c = lambda i: (to32(i), Z, Z)  # noqa: E731
+    centre_f = lambda i: (to32(i), Z, Z)  # noqa: E731
+
+    def kernel(cprev_ref, ccen_ref, cnxt_ref, y_ref, out_ref):
+        ext = jnp.concatenate(
+            [cprev_ref[...], ccen_ref[...], cnxt_ref[...]], axis=0)
+        Ey, Ez = _expand_mats(m)
+        yf = y_ref[...]
+        planes = []
+        for j in range(cb):
+            cm1, cc, cp1 = ext[j], ext[j + 1], ext[j + 2]
+            even = NF32(0.75) * cc + NF32(0.25) * cm1
+            odd = NF32(0.75) * cc + NF32(0.25) * cp1
+            planes.append(_hipdot(_hipdot(Ey, even), Ez))
+            planes.append(_hipdot(_hipdot(Ey, odd), Ez))
+        out_ref[...] = yf + jnp.stack(planes, axis=0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1, m, m), halo_c(-1)),
+            pl.BlockSpec((cb, m, m), centre_c),
+            pl.BlockSpec((1, m, m), halo_c(cb)),
+            pl.BlockSpec((depth, n, n), centre_f),
+        ],
+        out_specs=pl.BlockSpec((depth, n, n), centre_f),
+        out_shape=jax.ShapeDtypeStruct((n, n, n), F32),
+        interpret=_interpret(),
+    )(x_c, x_c, x_c, y)
