@@ -472,16 +472,42 @@ def residual_norm2(kind: str, x, b=None, rhs=None, q=None):
     return jnp.sum(partial)
 
 
+def _xla_restrict3(kind, x, b, rhs, q, needs_b, power):
+    """XLA composition of restrict3 (self-contained: jnp rolls +
+    reduce_window, same expressions/operation order as the models)."""
+    from . import mesh
+
+    n = x.shape[0]
+    xp = _pow(x, power)
+    S = (mesh.roll(xp, 1, 0) + mesh.roll(xp, -1, 0)
+         + mesh.roll(xp, 1, 1) + mesh.roll(xp, -1, 1)
+         + mesh.roll(xp, 1, 2) + mesh.roll(xp, -1, 2))
+    qq = jnp.asarray(q, F32) if kind in ("cubic", "quartic") else None
+    r = _residual_block(kind, n, x, S, b, qq, rhs)
+    out = [mesh.restriction(r), mesh.restriction(x)]
+    if needs_b:
+        out.append(mesh.restriction(b))
+    return tuple(out)
+
+
 def restrict3(kind: str, x, b=None, rhs=None, q=None):
     """Fused restriction pass: one read of the fine lattice yields
     (restriction(r), restriction(x)[, restriction(b)]) where r is the
     ``kind`` residual (rhs - op when ``rhs`` is given). Replaces the
     XLA chain residual -> reduce_window (+ 2 more full reads for the FAS
-    x_c / b_c restrictions)."""
+    x_c / b_c restrictions).
+
+    When the kernel's working set only fits VMEM at a coarse-block depth
+    of 1 (512^3 fine grids), the call silently composes the same result
+    in XLA instead: the cb=1 lowering fails in the Mosaic toolchain
+    (tpu_compile_helper crash, observed at 512^3; cb>=2 at 256^3
+    compiles and runs)."""
     n = x.shape[0]
     power, needs_b, extras = _gather_extras(kind, b, rhs, q)
     n_plane = 2 + sum(2 for a in extras if a.ndim == 3)  # 2CB deep each
-    cb = _depth_for(n, n_plane, choices=(4, 2, 1))
+    cb = _depth_for(n, n_plane, choices=(4, 2))
+    if cb < 2 or (n // 2) % cb != 0:
+        return _xla_restrict3(kind, x, b, rhs, q, needs_b, power)
     depth = 2 * cb
     grid, in_specs = _full_specs(n, depth, len(extras), extras)
     m = n // 2

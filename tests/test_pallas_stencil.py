@@ -179,3 +179,15 @@ def test_vcycle_with_forced_full_gate(monkeypatch):
                                rtol=5e-5, atol=5e-6)
     np.testing.assert_allclose(np.asarray(got_fas), np.asarray(ref_fas),
                                rtol=5e-5, atol=5e-6)
+
+
+def test_restrict3_xla_fallback_matches(monkeypatch):
+    """When the working set only fits at coarse-block depth 1 (512^3),
+    restrict3 must compose the identical result in XLA (the cb=1 Mosaic
+    lowering crashes the TPU compile helper)."""
+    x, b, rhs = _fields()
+    want = ps.restrict3("cubic", x, b, rhs=rhs, q=Q)
+    monkeypatch.setattr(ps, "_VMEM_BUDGET", 1)
+    got = ps.restrict3("cubic", x, b, rhs=rhs, q=Q)
+    for w, g in zip(want, got):
+        assert _rel(g, w) < 2e-6
