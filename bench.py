@@ -586,6 +586,37 @@ def main():
     ]
     special = ("components", "components_512")
 
+    def _merge_latest(result):
+        """Overlay the new capture onto BENCH_LATEST.json so a
+        budget-limited run (rows 'skipped (budget)') never clobbers a
+        previously captured number: numeric rows win, skip/fail strings
+        only fill rows that were never captured. BENCH_rNN.json keeps
+        each driver run's raw output; this file is 'latest known value
+        per row' and feeds the README table."""
+        root = os.path.dirname(os.path.abspath(__file__))
+        path = os.path.join(root, "BENCH_LATEST.json")
+        merged = dict(result)
+        try:
+            with open(path) as f:
+                old = json.load(f)
+            om = dict(old.get("extra_metrics_steps_per_sec", {}))
+            for k, v in result["extra_metrics_steps_per_sec"].items():
+                if isinstance(v, (int, float)) or not isinstance(
+                        om.get(k), (int, float)):
+                    om[k] = v
+            merged["extra_metrics_steps_per_sec"] = om
+            for ck in ("component_ms_256_tsc", "component_ms_512_cic"):
+                new_c = result.get(ck)
+                keep_old = (not isinstance(new_c, dict)
+                            or set(new_c) & {"skipped", "failed"})
+                if keep_old and isinstance(old.get(ck), dict) and not (
+                        set(old[ck]) & {"skipped", "failed"}):
+                    merged[ck] = old[ck]
+        except (OSError, ValueError, KeyError):
+            pass
+        with open(path, "w") as f:
+            json.dump(merged, f, indent=1)
+
     def _emit():
         """Cumulative table after every task (stdout AND the JSON file):
         a driver timeout can only cost the tasks not yet run."""
@@ -593,9 +624,7 @@ def main():
                               components_512)
         print(json.dumps(result), flush=True)
         try:
-            root = os.path.dirname(os.path.abspath(__file__))
-            with open(os.path.join(root, "BENCH_LATEST.json"), "w") as f:
-                json.dump(result, f, indent=1)
+            _merge_latest(result)
         except OSError:
             pass
 
@@ -655,13 +684,12 @@ def main():
             _recover_device()
         _emit()
 
-    # --- final line: the full table (last JSON line wins) -------------
+    # --- final line: the full table (last JSON line wins; nothing may
+    # print to stdout after it -- the driver parses the LAST line) -----
     result = _result_dict(value, baseline, extra, components, components_512)
-    print(json.dumps(result), flush=True)
     try:  # machine-readable source of truth for README/BENCH_NOTES tables
         root = os.path.dirname(os.path.abspath(__file__))
-        with open(os.path.join(root, "BENCH_LATEST.json"), "w") as f:
-            json.dump(result, f, indent=1)
+        _merge_latest(result)
         import subprocess
         import sys as _sys
 
@@ -669,9 +697,11 @@ def main():
             [_sys.executable, os.path.join(root, "tools",
                                            "gen_perf_table.py")],
             check=False, timeout=30,
+            stdout=_sys.stderr, stderr=_sys.stderr,
         )
     except OSError:
         pass
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

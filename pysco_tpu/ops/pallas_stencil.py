@@ -350,24 +350,25 @@ def _hipdot(a, b):
                    preferred_element_type=F32)
 
 
-def _pair_mats(n: int):
+def _pair_mats(rows: int, lanes: int):
     """Exact 0/1 pair-sum matrices for the 2x2x2 restriction:
-    PyT (n/2, n) sums sublane pairs from the left, Pz (n, n/2) sums lane
-    pairs from the right."""
-    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
-    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+    PyT (rows/2, rows) sums sublane pairs from the left, Pz
+    (lanes, lanes/2) sums lane pairs from the right."""
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes // 2), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes // 2), 1)
     Pz = ((i0 >> 1) == i1).astype(F32)
-    j0 = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
-    j1 = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+    j0 = jax.lax.broadcasted_iota(jnp.int32, (rows // 2, rows), 0)
+    j1 = jax.lax.broadcasted_iota(jnp.int32, (rows // 2, rows), 1)
     PyT = ((j1 >> 1) == j0).astype(F32)
     return PyT, Pz
 
 
 def _restrict_block(r):
-    """(2*CB, n, n) fine block -> (CB, n/2, n/2) full-weighting
-    restriction (mean over 2x2x2 children, mesh.restriction)."""
-    cb2, n, _ = r.shape
-    PyT, Pz = _pair_mats(n)
+    """(2*CB, rows, lanes) fine block -> (CB, rows/2, lanes/2)
+    full-weighting restriction (mean over 2x2x2 children,
+    mesh.restriction)."""
+    cb2, rows, lanes = r.shape
+    PyT, Pz = _pair_mats(rows, lanes)
     planes = []
     for j in range(cb2 // 2):
         pa = _hipdot(PyT, _hipdot(r[2 * j], Pz))
@@ -472,6 +473,119 @@ def residual_norm2(kind: str, x, b=None, rhs=None, q=None):
     return jnp.sum(partial)
 
 
+def _yb_for(n: int, cb: int, n3d_extras: int, n_out: int):
+    """Largest y-block (rows) whose double-buffered working set fits the
+    VMEM budget for the y-blocked restriction kernel. None if nothing
+    >= 16 rows fits (output sublane blocks need yb/2 >= 8)."""
+    depth = 2 * cb
+    for yb in (256, 128, 64, 32, 16):
+        if yb > n or n % yb != 0:
+            continue
+        # full-lane-equivalent rows per step: centre + 2 x-halos +
+        # 2 8-row y-halos + 3D extras + coarse outputs (half lanes)
+        rows = (depth * yb + 2 * yb + 2 * depth * 8
+                + n3d_extras * depth * yb + n_out * cb * yb // 4)
+        if rows * n * 4 * 2 <= _VMEM_BUDGET:
+            return yb
+    return None
+
+
+def _restrict3_yblocked(kind, x, b, rhs, q, needs_b, power, cb, yb):
+    """restrict3 with the sublane (y) axis blocked as well, for fine
+    grids whose full-row working set would force the coarse-block depth
+    to 1 (whose Mosaic lowering crashes -- see restrict3). Blocks are
+    (2*cb planes, yb rows, n lanes); the y-neighbour rolls read two
+    extra 8-row views of the adjacent row-blocks; z stays full-lane, x
+    rides the usual periodic plane halos."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = x.shape[0]
+    m = n // 2
+    depth = 2 * cb
+    extras = []
+    if needs_b:
+        extras.append(b)
+    if rhs is not None:
+        extras.append(rhs)
+    if kind in ("cubic", "quartic"):
+        extras.append(jnp.asarray(q, F32).reshape(1, 1))
+    Z = np.int32(0)
+    nyb = n // 8  # row-blocks of the minimal 8-row granule
+
+    def to32(i):
+        return i.astype(jnp.int32) if hasattr(i, "astype") else np.int32(i)
+
+    centre = lambda i, j: (to32(i), to32(j), Z)  # noqa: E731
+    centre_c = lambda i, j: (to32(i), to32(j), Z)  # noqa: E731
+
+    def halo_x(d):
+        def f(i, j):
+            return (jax.lax.rem(to32(i) * np.int32(depth) + np.int32(n + d),
+                                np.int32(n)), to32(j), Z)
+
+        return f
+
+    def halo_y(d):
+        # 8-row view at row-block (j*yb/8 + d) mod (n/8), same planes
+        def f(i, j):
+            return (to32(i), jax.lax.rem(
+                to32(j) * np.int32(yb // 8) + np.int32(nyb + d),
+                np.int32(nyb)), Z)
+
+        return f
+
+    in_specs = [
+        pl.BlockSpec((1, yb, n), halo_x(-1)),
+        pl.BlockSpec((depth, yb, n), centre),
+        pl.BlockSpec((1, yb, n), halo_x(depth)),
+        pl.BlockSpec((depth, 8, n), halo_y(-1)),
+        pl.BlockSpec((depth, 8, n), halo_y(yb // 8)),
+    ]
+    for a in extras:
+        if a.ndim == 3:
+            in_specs.append(pl.BlockSpec((depth, yb, n), centre))
+        else:
+            in_specs.append(pl.BlockSpec(
+                (1, 1), lambda i, j: (Z, Z), memory_space=pltpu.SMEM))
+
+    def kernel(prev_ref, cen_ref, nxt_ref, ym_ref, yp_ref, *rest):
+        refs = list(rest)
+        outs = [refs.pop() for _ in range(2 + int(needs_b))][::-1]
+        bb = refs.pop(0)[...] if needs_b else None
+        rr = refs.pop(0)[...] if rhs is not None else None
+        qq = refs.pop(0)[0, 0] if kind in ("cubic", "quartic") else None
+        xc = cen_ref[...]
+        d = xc.shape[0]
+        pw = lambda a: _pow(a, power)  # noqa: E731
+        ext = jnp.concatenate([pw(prev_ref[...]), pw(xc), pw(nxt_ref[...])],
+                              axis=0)
+        cp = ext[1:d + 1]
+        # y-rolls across the row-block boundary via the 8-row halo views
+        ym = jnp.concatenate([pw(ym_ref[...][:, 7:8, :]), cp[:, :-1, :]],
+                             axis=1)
+        yp = jnp.concatenate([cp[:, 1:, :], pw(yp_ref[...][:, 0:1, :])],
+                             axis=1)
+        S = (ext[:d] + ext[2:d + 2] + ym + yp
+             + jnp.roll(cp, 1, axis=2) + jnp.roll(cp, -1, axis=2))
+        r = _residual_block(kind, n, xc, S, bb, qq, rr)
+        outs[0][...] = _restrict_block(r)
+        outs[1][...] = _restrict_block(xc)
+        if needs_b:
+            outs[2][...] = _restrict_block(bb)
+
+    n_out = 2 + int(needs_b)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // depth, n // yb),
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec((cb, yb // 2, m), centre_c)
+                        for _ in range(n_out)),
+        out_shape=tuple(jax.ShapeDtypeStruct((m, m, m), F32)
+                        for _ in range(n_out)),
+        interpret=_interpret(),
+    )(x, x, x, x, x, *extras)
+
+
 def _xla_restrict3(kind, x, b, rhs, q, needs_b, power):
     """XLA composition of restrict3 (self-contained: jnp rolls +
     reduce_window, same expressions/operation order as the models)."""
@@ -497,16 +611,22 @@ def restrict3(kind: str, x, b=None, rhs=None, q=None):
     XLA chain residual -> reduce_window (+ 2 more full reads for the FAS
     x_c / b_c restrictions).
 
-    When the kernel's working set only fits VMEM at a coarse-block depth
-    of 1 (512^3 fine grids), the call silently composes the same result
-    in XLA instead: the cb=1 lowering fails in the Mosaic toolchain
-    (tpu_compile_helper crash, observed at 512^3; cb>=2 at 256^3
-    compiles and runs)."""
+    When the full-row working set only fits VMEM at a coarse-block depth
+    of 1 (512^3 fine grids) -- whose Mosaic lowering crashes the TPU
+    compile helper; cb>=2 at 256^3 compiles and runs -- the kernel
+    blocks the sublane (y) axis as well (`_restrict3_yblocked`) to keep
+    cb = 2, and composes the result in XLA only as a last resort."""
     n = x.shape[0]
     power, needs_b, extras = _gather_extras(kind, b, rhs, q)
-    n_plane = 2 + sum(2 for a in extras if a.ndim == 3)  # 2CB deep each
+    n_extras3d = sum(1 for a in extras if a.ndim == 3)
+    n_plane = 2 + 2 * n_extras3d  # 2CB deep each
     cb = _depth_for(n, n_plane, choices=(4, 2))
     if cb < 2 or (n // 2) % cb != 0:
+        n_out = 2 + int(needs_b)
+        yb = _yb_for(n, 2, n_extras3d, n_out)
+        if yb is not None and n % 4 == 0 and (n // 2) % 2 == 0:
+            return _restrict3_yblocked(kind, x, b, rhs, q, needs_b, power,
+                                       2, yb)
         return _xla_restrict3(kind, x, b, rhs, q, needs_b, power)
     depth = 2 * cb
     grid, in_specs = _full_specs(n, depth, len(extras), extras)
