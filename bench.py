@@ -561,6 +561,10 @@ def main():
          lambda e: _lazy_task(e, "fr_n1_tsc_multigrid_256", scheme="tsc",
                               iters_outer=3, theory="fr",
                               solver_name="multigrid")),
+        ("fr_n1_cic_multigrid_512_lazy_skip", 9, 4,
+         lambda e: _lazy_task(e, "fr_n1_cic_multigrid_512", scheme="cic",
+                              iters_outer=2, ncoarse=9, npart=512 ** 3,
+                              theory="fr", solver_name="multigrid")),
         # A/B for the dominant cost (the per-force tile sort): the
         # two-round shifted block sort (sort_mode=nearly) vs the global
         # 7-operand sort the headline uses -- captured here so a single
