@@ -312,7 +312,7 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
     from pysco_tpu.ops import pallas_pm
 
     m = 2 ** ncoarse
-    tstarts = jnp.zeros(m * (m // pallas_pm.YB) + 1, jnp.int32)
+    tstarts = jnp.zeros(pallas_pm.n_tiles(m) + 1, jnp.int32)
     state = (pos, vel, acc, phi, u, tstarts)
     dt = np.float32(1e-3)
 

@@ -286,8 +286,7 @@ def run(param) -> None:
         from .ops import pallas_pm
 
         ncells = cfg.ncells_1d
-        ntiles = ncells * (ncells // pallas_pm.YB)
-        tstarts = jnp.zeros(ntiles + 1, jnp.int32)
+        tstarts = jnp.zeros(pallas_pm.n_tiles(ncells) + 1, jnp.int32)
         cum_drift = np.inf  # no binning yet: first loop step sorts
 
     while param["aexp"] < aexp_out[-1]:

@@ -108,6 +108,47 @@ assert YB % 8 == 0 and YB > 0, "PYSCO_TPU_YB must be a positive x8"
 # import time -- set it before the first pysco_tpu import).
 Q = int(__import__("os").environ.get("PYSCO_TPU_CHUNK", "512"))
 assert Q % 256 == 0 and Q > 0, "PYSCO_TPU_CHUNK must be a positive x256"
+# z-block cells per tile. At very large grids the full-z window wastes
+# MXU work: every chunk dot contracts against an (m,)-lane one-hot
+# although a particle only touches w cells. Binning tiles in z too (the
+# tile key gains a z-block index) shrinks the window's lane extent to
+# round_up(ZB + w - 1 + 2*drift, 128), at the price of more tiles and
+# hence more window DMA round-trips. Measured on-chip at 512^3 CIC
+# (v5e, 2026-08-20) the trade is a wash: deposit/gather = 300/423 ms
+# full-z, 309/399 at ZB=256, 349/396 at ZB=128 -- the kernels there are
+# DMA/one-hot-build bound, not MAC bound. At 1024^3 the full-z lane
+# extent is 4x the ZB=256 window, so blocking pays; "auto" therefore
+# = 256 for m >= 1024, else m (nbz == 1 is the plain y-blocked layout).
+# ZB depends on the GRID ONLY (never on scheme/drift): the lazy
+# re-binning mode reuses a stale sort across steps with growing drift,
+# so tile keys must stay stable. On real TPUs ZB must be a multiple of
+# 128 (window DMA offsets are lane-dim slices); tests may force small
+# ZB in interpret mode.
+_ZB_ENV = __import__("os").environ.get("PYSCO_TPU_ZB", "auto")
+
+
+def _zb_size(ncells_1d: int) -> int:
+    """Static z-block size for a grid (cells per tile along z)."""
+    if _ZB_ENV != "auto":
+        zb = min(int(_ZB_ENV), ncells_1d)
+        assert zb > 0 and ncells_1d % zb == 0, (
+            "PYSCO_TPU_ZB must divide ncells_1d"
+        )
+        return zb
+    if ncells_1d >= 1024 and ncells_1d % 256 == 0:
+        return 256
+    return ncells_1d
+
+
+def n_zblocks(ncells_1d: int) -> int:
+    return ncells_1d // _zb_size(ncells_1d)
+
+
+def n_tiles(ncells_1d: int, n_planes: int | None = None) -> int:
+    """Total tile count (the tile_starts array has n_tiles + 1 entries)."""
+    if n_planes is None:
+        n_planes = ncells_1d
+    return n_planes * (ncells_1d // YB) * n_zblocks(ncells_1d)
 SENTINEL = 2.0  # tail-column x position (anything >= SENTINEL_MIN)
 SENTINEL_MIN = 1.5
 
@@ -135,10 +176,17 @@ def _geometry(ncells_1d: int, scheme: str, n_planes: int | None = None,
     wy = YB + w - 1 + 2 * drift
     wy_pad = _round_up(wy, 8)  # Mosaic slice shapes must be tile-aligned
     rows = wx_eff * wy_pad
-    wz_pad = _round_up(ncells_1d, 128)
+    zbs = _zb_size(ncells_1d)
+    nbz = ncells_1d // zbs
+    # nbz == 1: the window spans full z, wrap lives in the one-hot.
+    # nbz > 1: block-local z window (wrap via halo/fold like x and y).
+    if nbz == 1:
+        wz_pad = _round_up(ncells_1d, 128)
+    else:
+        wz_pad = _round_up(zbs + w - 1 + 2 * drift, 128)
     nby = ncells_1d // YB
-    ntiles = n_planes * nby
-    return w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles
+    ntiles = n_planes * nby * nbz
+    return w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz
 
 
 def to_columns(position, velocity, npart: int):
@@ -183,13 +231,18 @@ def tile_keys(position, ncells_1d: int, scheme: str, plane0=0,
     if n_planes is None:
         n_planes = m
     nby = m // YB
-    ntiles = n_planes * nby
+    zbs = _zb_size(m)
+    nbz = m // zbs
+    ntiles = n_planes * nby * nbz
     xs = position[0] * F32(m)
     ys = position[1] * F32(m)
     px = _base_axis(scheme, xs) % m
     py = (_base_axis(scheme, ys) % m) // YB
     p_loc = px - plane0
     key = (p_loc * nby + py).astype(I32)
+    if nbz > 1:
+        pz = (_base_axis(scheme, position[2] * F32(m)) % m) // zbs
+        key = key * I32(nbz) + pz.astype(I32)
     bad = (position[0] >= F32(SENTINEL_MIN)) | (p_loc < 0) | (
         p_loc >= n_planes
     )
@@ -266,7 +319,7 @@ def sort_particles(position, velocity, ncells_1d: int, scheme: str,
         mode = "nearly" if nearly else "full"
     if n_planes is None:
         n_planes = m
-    ntiles = n_planes * (m // YB)
+    ntiles = n_tiles(m, n_planes)
     key = tile_keys(position, m, scheme, plane0, n_planes)
     n = key.shape[0]
     use_index = mode in ("index", "nearly_index")
@@ -322,7 +375,9 @@ def drift_violations(position_sorted, tile_starts, ncells_1d: int,
     """
     m = ncells_1d
     scheme = scheme.casefold()
-    w, _, wy_pad, _, _, nby, ntiles = _geometry(m, scheme, n_planes, drift)
+    w, _, wy_pad, _, wz_pad, nby, ntiles, zbs, nbz = _geometry(
+        m, scheme, n_planes, drift
+    )
     n_up = position_sorted.shape[1]
     # tile of column i = #{t >= 1 : starts[t] <= i} == searchsorted(
     # starts[1:], i, 'right') -- but computed as an 8K-element scatter of
@@ -336,28 +391,37 @@ def drift_violations(position_sorted, tile_starts, ncells_1d: int,
         jnp.minimum(bounds, I32(n_up))
     ].add(1, mode="drop")
     tile = jnp.cumsum(marks[:-1], dtype=I32)
-    plane = tile // nby + jnp.asarray(plane0, I32)
-    yb = tile % nby
+    plane = tile // (nby * nbz) + jnp.asarray(plane0, I32)
+    yb = (tile // nbz) % nby
     bx = _base_axis(scheme, position_sorted[0] * F32(m)) % m
     by = _base_axis(scheme, position_sorted[1] * F32(m)) % m
     dx = (bx - plane + m + drift) % m  # exact iff <= 2*drift
     dy = (by - yb * YB + m + drift) % m  # exact iff <= wy_pad - w
     real = (position_sorted[0] < F32(SENTINEL_MIN)) & (tile < ntiles)
-    bad = real & ((dx > 2 * drift) | (dy > wy_pad - w))
-    return jnp.sum(bad.astype(I32))
+    bad = (dx > 2 * drift) | (dy > wy_pad - w)
+    if nbz > 1:
+        zb = tile % nbz
+        bz = _base_axis(scheme, position_sorted[2] * F32(m)) % m
+        dz = (bz - zb * zbs + m + drift) % m  # exact iff <= wz_pad - w
+        bad = bad | (dz > wz_pad - w)
+    return jnp.sum((real & bad).astype(I32))
 
 
 def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
-                   plane=None, drift: int = 0):
+                   plane=None, drift: int = 0, zb=None, zbs=None,
+                   nbz: int = 1, wz_pad: int | None = None):
     """Factored one-hot weights for one particle chunk.
 
     Returns A ((w+2*drift)*wy_pad, P) -- x-slot x local-y one-hot
-    products, valid-masked -- and Wz (wz_pad, P) -- z one-hot with
-    periodic wrap folded into the column index ((z_base + o) mod m).
+    products, valid-masked -- and Wz (wz_pad, P). With nbz == 1
+    (full-z windows) Wz's column index folds the periodic wrap
+    ((z_base + o) mod m); with nbz > 1 (z-blocked tiles) the z one-hot
+    is BLOCK-LOCAL like y -- offset from the tile's first z cell
+    (+drift shift), wrap handled by the caller's halo/fold.
     ``valid`` enters A only.
 
     With ``drift > 0`` (lazy re-binning: the tile sort is stale) the x
-    window block and local y row come from the MODULAR offset of the
+    window block and local y/z rows come from the MODULAR offset of the
     particle's base from its assigned tile, shifted by +drift -- so a
     particle that moved up to ``drift`` cells since the sort still lands
     in the widened window; anything farther misses every one-hot and
@@ -377,6 +441,15 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
     bz = _base_axis(scheme, zs)
     wzw = _axis_weights(scheme, zs, bz)
     zl = jnp.where(bz < 0, bz + m, bz)
+    if nbz > 1:
+        # block-local z row (mirrors y): fresh sort puts the base inside
+        # [zb*zbs, zb*zbs + zbs); stale sorts may be off by <= drift
+        if drift == 0:
+            zl = zl - zb * zbs
+        else:
+            zl_raw = lax.rem(zl - zb * zbs + jnp.int32(2 * m),
+                             jnp.int32(m))
+            zl = jnp.where(zl_raw >= m - drift, zl_raw - m, zl_raw) + drift
 
     if drift == 0:
         by_wrapped = jnp.where(by < 0, by + m, by)
@@ -404,12 +477,15 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
             wxs = wxs + jnp.where(xrows == dx + a, wx[a] * valid, F32(0))
     a_mat = (wxs[:, None, :] * wy_oh[None, :, :]).reshape(wx_eff * wy_pad, p)
 
-    wz_pad = _round_up(m, 128)
+    if wz_pad is None:
+        wz_pad = _round_up(m, 128)
     zrows = lax.broadcasted_iota(I32, (wz_pad, p), 0)
     wz_mat = jnp.zeros((wz_pad, p), F32)
     for oz in range(w):
         zc = zl + oz
-        zc = jnp.where(zc >= m, zc - m, zc)  # periodic wrap in the one-hot
+        if nbz == 1:
+            zc = jnp.where(zc >= m, zc - m, zc)  # periodic wrap in one-hot
+        # nbz > 1: no wrap -- the window's spill cells fold/halo outside
         wz_mat = wz_mat + jnp.where(zrows == zc, wzw[oz], F32(0))
     return a_mat, wz_mat
 
@@ -420,7 +496,7 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
 
 def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
                     precision: str = "f32"):
-    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, n_planes, drift
     )
 
@@ -431,8 +507,10 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
             def tile_body(t, _):
                 start = starts_ref[t]
                 end = starts_ref[t + 1]
-                yb = lax.rem(t, jnp.int32(nby))
-                plane = lax.div(t, jnp.int32(nby))
+                zb = lax.rem(t, jnp.int32(nbz))
+                tyx = lax.div(t, jnp.int32(nbz))
+                yb = lax.rem(tyx, jnp.int32(nby))
+                plane = lax.div(tyx, jnp.int32(nby))
                 # global grid plane of this tile (slab offset; the widened
                 # drift windows compare against global base cells)
                 gplane = plane + plane0_ref[0]
@@ -471,7 +549,7 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
                         valid = ((gi >= start) & (gi < end)).astype(F32)
                         a_mat, wz_mat = _chunk_weights(
                             scheme, m, w, wy_pad, chunk, yb, valid, Q,
-                            gplane, drift,
+                            gplane, drift, zb, zbs, nbz, wz_pad,
                         )
                         win[...] = win[...] + _dot(
                             a_mat, wz_mat, (((1,), (1,)), ((), ())),
@@ -484,7 +562,8 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
                     # padded grid (tiles run sequentially: no write races)
                     rd = pltpu.make_async_copy(
                         out_ref.at[
-                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad), :
+                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
+                            pl.ds(zb * zbs, wz_pad),
                         ],
                         region, sem_rd,
                     )
@@ -496,7 +575,8 @@ def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
                     wr = pltpu.make_async_copy(
                         region,
                         out_ref.at[
-                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad), :
+                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
+                            pl.ds(zb * zbs, wz_pad),
                         ],
                         sem_wr,
                     )
@@ -560,7 +640,7 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     if n_planes is None:
         n_planes = m
     scheme = scheme.casefold()
-    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, n_planes, drift
     )
     if plane0 is None:
@@ -568,7 +648,8 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     else:
         plane0 = jnp.asarray(plane0, I32).reshape(1)
 
-    gp_shape = (n_planes + w - 1 + 2 * drift, m + wy_pad - YB, wz_pad)
+    gp_shape = (n_planes + w - 1 + 2 * drift, m + wy_pad - YB,
+                m + wz_pad - zbs)
     zeros = jnp.zeros(gp_shape, F32)
     gp = pl.pallas_call(
         _deposit_kernel(scheme, m, n_planes, drift, precision),
@@ -583,7 +664,12 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
         input_output_aliases={3: 0},
         interpret=interpret,
     )(tile_starts, plane0, position_sorted, zeros)
-    return _fold_axis(gp, 1, m, lead=drift)[:, :, :m]
+    gp = _fold_axis(gp, 1, m, lead=drift)
+    if nbz == 1:
+        return gp[:, :, :m]  # z wrap lives in the one-hot; pad is zero
+    # z-blocked windows spill like y: fold the pad cells periodically
+    # (z index i holds grid z (i - drift))
+    return _fold_axis(gp, 2, m, lead=drift)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -607,7 +693,7 @@ def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
 
 def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                    drift: int = 0, precision: str = "f32"):
-    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, n_planes, drift
     )
 
@@ -623,14 +709,17 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
 
                 @pl.when(end > start)
                 def _():
-                    yb = lax.rem(t, jnp.int32(nby))
-                    plane = lax.div(t, jnp.int32(nby))
+                    zb = lax.rem(t, jnp.int32(nbz))
+                    tyx = lax.div(t, jnp.int32(nbz))
+                    yb = lax.rem(tyx, jnp.int32(nby))
+                    plane = lax.div(tyx, jnp.int32(nby))
                     gplane = plane + plane0_ref[0]
                     c0 = lax.div(start, jnp.int32(Q))
                     c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
                     fdma = pltpu.make_async_copy(
                         fext_hbm.at[
-                            :, pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad), :
+                            :, pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
+                            pl.ds(zb * zbs, wz_pad),
                         ],
                         fwin,
                         sem_f,
@@ -677,6 +766,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                         a_mat, wz_mat = _chunk_weights(
                             scheme, m, w, wy_pad, chunk, yb,
                             jnp.ones((1, Q), F32), Q, gplane, drift,
+                            zb, zbs, nbz, wz_pad,
                         )
                         # one fused MXU dot over all components:
                         # (C*rows, WZ) x (WZ, P) -> (C*rows, P)
@@ -749,6 +839,32 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
     return kernel
 
 
+def _extend_z(fc, m: int, wz_pad: int, zbs: int, nbz: int, drift: int):
+    """z-extend a component-leading field for the gather windows.
+
+    nbz == 1: zero-pad to wz_pad (the z wrap lives in the one-hot).
+    nbz > 1: periodic halo like y -- extended z index j holds grid z
+    (j - drift) mod m, so tile zb's window DMA [zb*zbs, zb*zbs + wz_pad)
+    covers its (drift-shifted) block plus the wrap cells.
+    """
+    if nbz == 1:
+        if wz_pad > m:
+            fc = jnp.pad(
+                fc, ((0, 0),) * (fc.ndim - 1) + ((0, wz_pad - m),)
+            )
+        return fc
+    z_parts = []
+    if drift:
+        z_parts.append(fc[..., m - drift:])
+    z_parts.append(fc)
+    tail = wz_pad - zbs - drift
+    while tail > 0:  # tiny test-only ZB can wrap more than once
+        take = min(tail, m)
+        z_parts.append(fc[..., :take])
+        tail -= take
+    return jnp.concatenate(z_parts, axis=-1)
+
+
 def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
                     interpret: bool = False, drift: int = 0,
                     plane0=None, precision: str = "f32") -> jax.Array:
@@ -768,7 +884,7 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
     scheme = scheme.casefold()
     w = _WIDTH[scheme]
     n_planes = field_ext.shape[0] - (w - 1 + 2 * drift)
-    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, n_planes, drift
     )
     npad = position_sorted.shape[1]
@@ -778,8 +894,8 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
         plane0 = jnp.asarray(plane0, I32).reshape(1)
 
     # component-leading extended field: x slot a of local plane p reads
-    # extended plane p + a; y rows yb*YB-drift..+wy_pad-1; z cells 0..m-1
-    # (the z wrap lives in the one-hot, so no z halo)
+    # extended plane p + a; y rows yb*YB-drift..+wy_pad-1; z extended
+    # per _extend_z (one-hot wrap when nbz == 1, periodic halo otherwise)
     fc = jnp.moveaxis(field_ext, -1, 0)
     y_parts = []
     if drift:
@@ -787,8 +903,7 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
     y_parts.append(fc)
     y_parts.append(fc[:, :, : wy_pad - YB - drift])
     fc = jnp.concatenate(y_parts, axis=2)
-    if wz_pad > m:
-        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
+    fc = _extend_z(fc, m, wz_pad, zbs, nbz, drift)
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(
@@ -835,7 +950,7 @@ def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
     m = field_cl.shape[1]
     ncomp = field_cl.shape[0]
     scheme = scheme.casefold()
-    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles = _geometry(
+    w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, None, drift
     )
     npad = position_sorted.shape[1]
@@ -855,8 +970,7 @@ def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
     y_parts.append(fc)
     y_parts.append(fc[:, :, : wy_pad - YB - drift])
     fc = jnp.concatenate(y_parts, axis=2)
-    if wz_pad > m:
-        fc = jnp.pad(fc, ((0, 0), (0, 0), (0, 0), (0, wz_pad - m)))
+    fc = _extend_z(fc, m, wz_pad, zbs, nbz, drift)
 
     zeros = jnp.zeros((4, npad), F32)
     out = pl.pallas_call(

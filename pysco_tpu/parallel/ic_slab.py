@@ -561,7 +561,7 @@ def generate_lpt_slab(param, tables, mesh: Mesh):
         u = jax.device_put(jnp.zeros((m, m, m), F32), shard_f)
     else:
         u = jax.device_put(jnp.zeros((n_dev, 1, 1), F32), shard_f)
-    nt_local = (m // n_dev) * (m // pallas_pm.YB) + 1
+    nt_local = pallas_pm.n_tiles(m, m // n_dev) + 1
     ts = jax.device_put(jnp.zeros((n_dev * nt_local,), jnp.int32),
                         NamedSharding(mesh, P(AXIS)))
     return position, velocity, acc, phi, u, ts

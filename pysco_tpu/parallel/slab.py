@@ -700,7 +700,7 @@ def distribute_particles(mesh: Mesh, cfg: SolverConfig, position, velocity,
             jnp.zeros((n_dev, 1, 1), jnp.float32), shard_f
         )
     # per-shard tile starts (filled by the first sorted step)
-    nt_local = planes * (m // pallas_pm.YB) + 1
+    nt_local = pallas_pm.n_tiles(m, planes) + 1
     ts_dev = jax.device_put(
         jnp.zeros((n_dev * nt_local,), jnp.int32),
         NamedSharding(mesh, P(AXIS)),

@@ -42,14 +42,19 @@ def geometry(m, scheme, drift=0):
     w = {"ngp": 1, "cic": 2, "tsc": 3}[scheme]
     wx = w + 2 * drift
     wy = YB + w - 1 + 2 * drift
-    return w, wx, wy
+    # z-blocked tiles at m >= 1024 (pallas_pm._zb_size): the window's z
+    # extent is the z-block window, not the full grid (model counts the
+    # unpadded algorithmic extent, consistent with wy above)
+    zbs = 256 if m >= 1024 and m % 256 == 0 else m
+    wz = (zbs + w - 1 + 2 * drift) if zbs < m else m
+    return w, wx, wy, wz
 
 
 def analyse(label, comp, m, npart, scheme, passes=3):
     """passes: MXU passes per contraction (3 for bf16x3, 1 for bf16)."""
     out = {}
     n = npart
-    _, wx, wy = geometry(m, scheme)
+    _, wx, wy, wz = geometry(m, scheme)
     rows = wx * wy
     grid_bytes = 4 * m ** 3
 
@@ -66,7 +71,7 @@ def analyse(label, comp, m, npart, scheme, passes=3):
 
     t = comp.get("deposit_ms")
     if t:
-        macs = passes * rows * m * n  # window contraction per particle
+        macs = passes * rows * wz * n  # window contraction per particle
         bytes_min = 4 * 4 * n + grid_bytes  # state read + grid write
         out["deposit"] = {
             "ms": t,
@@ -86,7 +91,7 @@ def analyse(label, comp, m, npart, scheme, passes=3):
 
     t = comp.get("gather_ms")
     if t:
-        macs = passes * 3 * rows * m * n
+        macs = passes * 3 * rows * wz * n
         bytes_min = 3 * grid_bytes + 4 * 4 * n * 2  # field + state rd/wr
         out["gather"] = {
             "ms": t,
