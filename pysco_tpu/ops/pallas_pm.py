@@ -28,8 +28,11 @@ speed-of-light path on TPU:
   z one-hot with **periodic wrap folded into the one-hot column**
   ((z_base + o) mod M), so the window's z extent is exactly M and no
   z unwrapping pass is needed. Tile windows are overlap-added into a
-  padded grid by read-modify-write DMAs (tiles run sequentially), and
-  the x/y pad regions are folded back periodically at the end.
+  padded grid by read-modify-write DMAs -- visited in a stride-2 phase
+  order over (y, z) blocks whenever the geometry makes consecutive
+  windows disjoint, so the next tile's read flies while the previous
+  write is in flight -- and the x/y(/z) pad regions are folded back
+  periodically at the end.
 
 The gather kernel runs the transpose: per tile it DMAs the force-field
 window (component-leading layout) and contracts all three components
@@ -103,27 +106,43 @@ assert YB % 8 == 0 and YB > 0, "PYSCO_TPU_YB must be a positive x8"
 # Particle chunk size == DMA alignment quantum. The tile loop pays a
 # fixed per-chunk overhead (2 DMA round trips + one MXU dispatch), so a
 # larger Q amortises latency at the cost of more masked work on
-# tile-straddling chunks; env-tunable for on-chip sweeps (all kernels,
-# sort padding and capacities derive from this single constant at
-# import time -- set it before the first pysco_tpu import).
-Q = int(__import__("os").environ.get("PYSCO_TPU_CHUNK", "512"))
+# tile-straddling COVERING chunks -- and that masked work grows as tiles
+# shrink: a tile of ~1024 particles covered by ceil-aligned 512-chunks
+# wastes ~50% of its MXU lanes, vs ~25% at q=256 (measured at 512^3
+# z-blocked CIC: gather drift2 1152 -> 1045 ms at q=256, deposit
+# neutral). The per-kernel chunk therefore adapts to the mean tile
+# occupancy (:func:`_chunk_q`); PYSCO_TPU_CHUNK forces one value
+# everywhere (sweeps), and padding/capacities always use the base Q so
+# any q <= Q divides the padded column count.
+_Q_ENV = __import__("os").environ.get("PYSCO_TPU_CHUNK")
+Q = int(_Q_ENV or "512")
 assert Q % 256 == 0 and Q > 0, "PYSCO_TPU_CHUNK must be a positive x256"
+
+
+def _chunk_q(n_up: int, ntiles: int) -> int:
+    """Static per-call chunk size from mean tile occupancy."""
+    if _Q_ENV is not None:
+        return Q
+    return 256 if n_up < 2048 * ntiles else Q
 # z-block cells per tile. At very large grids the full-z window wastes
 # MXU work: every chunk dot contracts against an (m,)-lane one-hot
 # although a particle only touches w cells. Binning tiles in z too (the
 # tile key gains a z-block index) shrinks the window's lane extent to
 # round_up(ZB + w - 1 + 2*drift, 128), at the price of more tiles and
 # hence more window DMA round-trips. Measured on-chip at 512^3 CIC
-# (v5e, 2026-08-20) the trade is a wash: deposit/gather = 300/423 ms
-# full-z, 309/399 at ZB=256, 349/396 at ZB=128 -- the kernels there are
-# DMA/one-hot-build bound, not MAC bound. At 1024^3 the full-z lane
-# extent is 4x the ZB=256 window, so blocking pays; "auto" therefore
-# = 256 for m >= 1024, else m (nbz == 1 is the plain y-blocked layout).
-# ZB depends on the GRID ONLY (never on scheme/drift): the lazy
-# re-binning mode reuses a stale sort across steps with growing drift,
-# so tile keys must stay stable. On real TPUs ZB must be a multiple of
-# 128 (window DMA offsets are lane-dim slices); tests may force small
-# ZB in interpret mode.
+# (v5e, 2026-08-20): at drift 0 the trade is a wash (deposit/gather =
+# 300/423 ms full-z vs 349/396 at ZB=128 -- those kernels are
+# DMA/one-hot-build bound), but the drift-WIDENED lazy-mode kernels are
+# MXU bound (3x window rows) and gain outright: gather 1025 -> 838 ms
+# at drift 1, 1491 -> 1161 at drift 2 (deposit neutral). The production
+# default is lazy re-binning, where most steps run widened kernels, so
+# "auto" = 128 for m >= 512 (~8% off the sustained late-time step;
+# below 512 the 128-lane rounding erases any gain), else m (nbz == 1 is
+# the plain y-blocked layout). ZB depends on the GRID ONLY (never on
+# scheme/drift): the lazy mode reuses a stale sort across steps with
+# growing drift, so tile keys must stay stable. On real TPUs ZB must be
+# a multiple of 128 (window DMA offsets are lane-dim slices); tests may
+# force small ZB in interpret mode.
 _ZB_ENV = __import__("os").environ.get("PYSCO_TPU_ZB", "auto")
 
 
@@ -135,8 +154,8 @@ def _zb_size(ncells_1d: int) -> int:
             "PYSCO_TPU_ZB must divide ncells_1d"
         )
         return zb
-    if ncells_1d >= 1024 and ncells_1d % 256 == 0:
-        return 256
+    if ncells_1d >= 512 and ncells_1d % 128 == 0:
+        return 128
     return ncells_1d
 
 
@@ -495,106 +514,191 @@ def _chunk_weights(scheme, m, w, wy_pad, pos_chunk, yb, valid, p,
 # ---------------------------------------------------------------------------
 
 def _deposit_kernel(scheme: str, m: int, n_planes: int, drift: int = 0,
-                    precision: str = "f32"):
+                    precision: str = "f32", q: int = Q):
     w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, n_planes, drift
+    )
+    # Pipelined (read-ahead / write-behind) tile order: visiting tiles in
+    # stride-2 phases over (yb, zb) parity makes CONSECUTIVE visits'
+    # window regions disjoint in the extended output array (window y
+    # extent <= 2 y-blocks, z extent <= 2 z-blocks, and the plane-wrap
+    # visit jumps >= 2 y-blocks when nby >= 4), so tile v+1's region read
+    # may fly while tile v's write is still in flight -- the serial
+    # per-tile RMW latency hides behind the chunk contraction. Falls back
+    # to the strictly serial order when the geometry can't guarantee
+    # disjointness (tiny grids / very wide drift windows).
+    pipelined = (
+        nby >= 4 and wy_pad <= 2 * YB
+        and (nbz == 1 or wz_pad <= 2 * zbs)
     )
 
     def kernel(starts_ref, plane0_ref, pos_hbm, zeros_hbm, out_ref):
         del zeros_hbm  # aliased to out_ref (pre-zeroed grid)
 
         def run(pos_buf, win, region, sem_in, sem_rd, sem_wr):
-            def tile_body(t, _):
-                start = starts_ref[t]
-                end = starts_ref[t + 1]
+            def accumulate(t, yb, zb, gplane, start, end):
+                """Sum the tile's particle one-hots into ``win``."""
+                win[...] = jnp.zeros((rows, wz_pad), F32)
+                c0 = lax.div(start, jnp.int32(q))
+                c1 = lax.div(end + jnp.int32(q - 1), jnp.int32(q))
+
+                def start_dma(c, slot):
+                    off = pl.multiple_of(c * q, q)
+                    pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, q)],
+                        pos_buf.at[slot],
+                        sem_in.at[slot],
+                    ).start()
+
+                start_dma(c0, lax.rem(c0, jnp.int32(2)))
+
+                def chunk_body(c, _):
+                    slot = lax.rem(c, jnp.int32(2))
+                    # prefetch the next chunk while this one computes
+                    @pl.when(c + 1 < c1)
+                    def _():
+                        start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+
+                    off = pl.multiple_of(c * q, q)
+                    pltpu.make_async_copy(
+                        pos_hbm.at[:, pl.ds(off, q)],
+                        pos_buf.at[slot],
+                        sem_in.at[slot],
+                    ).wait()
+                    chunk = pos_buf[slot]
+                    gi = off + lax.broadcasted_iota(I32, (1, q), 1)
+                    valid = ((gi >= start) & (gi < end)).astype(F32)
+                    a_mat, wz_mat = _chunk_weights(
+                        scheme, m, w, wy_pad, chunk, yb, valid, q,
+                        gplane, drift, zb, zbs, nbz, wz_pad,
+                    )
+                    win[...] = win[...] + _dot(
+                        a_mat, wz_mat, (((1,), (1,)), ((), ())),
+                        precision,
+                    )
+                    return 0
+
+                lax.fori_loop(c0, c1, chunk_body, 0)
+
+            def region_copy(plane, yb, zb, slot, to_hbm: bool):
+                window = out_ref.at[
+                    pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
+                    pl.ds(zb * zbs, wz_pad),
+                ]
+                if to_hbm:
+                    return pltpu.make_async_copy(
+                        region.at[slot], window, sem_wr.at[slot]
+                    )
+                return pltpu.make_async_copy(
+                    window, region.at[slot], sem_rd.at[slot]
+                )
+
+            def tile_coords(t):
                 zb = lax.rem(t, jnp.int32(nbz))
                 tyx = lax.div(t, jnp.int32(nbz))
                 yb = lax.rem(tyx, jnp.int32(nby))
                 plane = lax.div(tyx, jnp.int32(nby))
-                # global grid plane of this tile (slab offset; the widened
-                # drift windows compare against global base cells)
-                gplane = plane + plane0_ref[0]
-                c0 = lax.div(start, jnp.int32(Q))
-                c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
+                return plane, yb, zb
 
-                @pl.when(end > start)
-                def _():
-                    win[...] = jnp.zeros((rows, wz_pad), F32)
+            if not pipelined:
+                def tile_body(t, _):
+                    start = starts_ref[t]
+                    end = starts_ref[t + 1]
+                    plane, yb, zb = tile_coords(t)
+                    # global grid plane of this tile (slab offset; the
+                    # widened drift windows compare against global bases)
+                    gplane = plane + plane0_ref[0]
 
-                    def start_dma(c, slot):
-                        off = pl.multiple_of(c * Q, Q)
-                        pltpu.make_async_copy(
-                            pos_hbm.at[:, pl.ds(off, Q)],
-                            pos_buf.at[slot],
-                            sem_in.at[slot],
-                        ).start()
+                    @pl.when(end > start)
+                    def _():
+                        accumulate(t, yb, zb, gplane, start, end)
+                        # read-modify-write the tile's window region
+                        # (tiles run strictly serially: no write races)
+                        rd = region_copy(plane, yb, zb, 0, False)
+                        rd.start()
+                        rd.wait()
+                        region[0] = region[0] + win[...].reshape(
+                            wx_eff, wy_pad, wz_pad
+                        )
+                        wr = region_copy(plane, yb, zb, 0, True)
+                        wr.start()
+                        wr.wait()
 
-                    start_dma(c0, lax.rem(c0, jnp.int32(2)))
+                    return 0
 
-                    def chunk_body(c, _):
-                        slot = lax.rem(c, jnp.int32(2))
-                        # prefetch the next chunk while this one computes
-                        @pl.when(c + 1 < c1)
+                lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
+                return
+
+            # pipelined phase order; window DMAs run for EVERY visited
+            # tile (empty ones skip only the chunk loop) so starts/waits
+            # pair up unconditionally
+            for a in range(2):
+                ny_a = (nby - a + 1) // 2
+                for b in range(min(nbz, 2)):
+                    nz_b = (nbz - b + 1) // 2
+                    size = n_planes * ny_a * nz_b
+                    if size == 0:
+                        continue
+
+                    def visit_body(v, _, a=a, b=b, ny_a=ny_a, nz_b=nz_b):
+                        r = lax.rem(v, jnp.int32(ny_a * nz_b))
+                        plane = lax.div(v, jnp.int32(ny_a * nz_b))
+                        yb = 2 * lax.div(r, jnp.int32(nz_b)) + a
+                        zb = 2 * lax.rem(r, jnp.int32(nz_b)) + b
+                        t = (plane * nby + yb) * nbz + zb
+                        start = starts_ref[t]
+                        end = starts_ref[t + 1]
+                        gplane = plane + plane0_ref[0]
+                        slot = lax.rem(v, jnp.int32(2))
+
+                        # slot's previous write must land before rereading
+                        @pl.when(v >= 2)
                         def _():
-                            start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
+                            region_copy(plane, yb, zb, slot, True).wait()
 
-                        off = pl.multiple_of(c * Q, Q)
-                        pltpu.make_async_copy(
-                            pos_hbm.at[:, pl.ds(off, Q)],
-                            pos_buf.at[slot],
-                            sem_in.at[slot],
-                        ).wait()
-                        chunk = pos_buf[slot]
-                        gi = off + lax.broadcasted_iota(I32, (1, Q), 1)
-                        valid = ((gi >= start) & (gi < end)).astype(F32)
-                        a_mat, wz_mat = _chunk_weights(
-                            scheme, m, w, wy_pad, chunk, yb, valid, Q,
-                            gplane, drift, zb, zbs, nbz, wz_pad,
-                        )
-                        win[...] = win[...] + _dot(
-                            a_mat, wz_mat, (((1,), (1,)), ((), ())),
-                            precision,
-                        )
+                        rd = region_copy(plane, yb, zb, slot, False)
+                        rd.start()
+
+                        @pl.when(end > start)
+                        def _():
+                            accumulate(t, yb, zb, gplane, start, end)
+
+                        rd.wait()
+
+                        @pl.when(end > start)
+                        def _():
+                            region[slot] = region[slot] + win[...].reshape(
+                                wx_eff, wy_pad, wz_pad
+                            )
+
+                        # write-behind: the next visit's window is
+                        # disjoint (stride-2 phase order), so no race
+                        region_copy(plane, yb, zb, slot, True).start()
                         return 0
 
-                    lax.fori_loop(c0, c1, chunk_body, 0)
-                    # read-modify-write the tile's window region of the
-                    # padded grid (tiles run sequentially: no write races)
-                    rd = pltpu.make_async_copy(
-                        out_ref.at[
-                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
-                            pl.ds(zb * zbs, wz_pad),
-                        ],
-                        region, sem_rd,
-                    )
-                    rd.start()
-                    rd.wait()
-                    region[...] = region[...] + win[...].reshape(
-                        wx_eff, wy_pad, wz_pad
-                    )
-                    wr = pltpu.make_async_copy(
-                        region,
-                        out_ref.at[
-                            pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
-                            pl.ds(zb * zbs, wz_pad),
-                        ],
-                        sem_wr,
-                    )
-                    wr.start()
-                    wr.wait()
-
-                return 0
-
-            lax.fori_loop(jnp.int32(0), jnp.int32(ntiles), tile_body, 0)
+                    lax.fori_loop(jnp.int32(0), jnp.int32(size),
+                                  visit_body, 0)
+                    # drain this phase's trailing writes (regions of the
+                    # NEXT phase do overlap this one's)
+                    for back in range(min(size, 2)):
+                        v_last = size - 1 - back
+                        r = v_last % (ny_a * nz_b)
+                        plane = v_last // (ny_a * nz_b)
+                        yb = 2 * (r // nz_b) + a
+                        zb = 2 * (r % nz_b) + b
+                        region_copy(
+                            jnp.int32(plane), jnp.int32(yb), jnp.int32(zb),
+                            jnp.int32(v_last % 2), True
+                        ).wait()
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((2, 4, Q), F32),
+            pos_buf=pltpu.VMEM((2, 4, q), F32),
             win=pltpu.VMEM((rows, wz_pad), F32),
-            region=pltpu.VMEM((wx_eff, wy_pad, wz_pad), F32),
+            region=pltpu.VMEM((2, wx_eff, wy_pad, wz_pad), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
-            sem_rd=pltpu.SemaphoreType.DMA,
-            sem_wr=pltpu.SemaphoreType.DMA,
+            sem_rd=pltpu.SemaphoreType.DMA((2,)),
+            sem_wr=pltpu.SemaphoreType.DMA((2,)),
         )
 
     return kernel
@@ -651,8 +755,9 @@ def deposit_slab(position_sorted, tile_starts, ncells_1d: int, scheme: str,
     gp_shape = (n_planes + w - 1 + 2 * drift, m + wy_pad - YB,
                 m + wz_pad - zbs)
     zeros = jnp.zeros(gp_shape, F32)
+    q = _chunk_q(position_sorted.shape[1], ntiles)
     gp = pl.pallas_call(
-        _deposit_kernel(scheme, m, n_planes, drift, precision),
+        _deposit_kernel(scheme, m, n_planes, drift, precision, q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -692,7 +797,7 @@ def deposit(position_sorted, tile_starts, ncells_1d: int, scheme: str,
 # ---------------------------------------------------------------------------
 
 def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
-                   drift: int = 0, precision: str = "f32"):
+                   drift: int = 0, precision: str = "f32", q: int = Q):
     w, wx_eff, wy_pad, rows, wz_pad, nby, ntiles, zbs, nbz = _geometry(
         m, scheme, n_planes, drift
     )
@@ -703,49 +808,70 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
 
         def run(pos_buf, cur_buf, fwin, fw_flat, out_buf, sem_in, sem_cur,
                 sem_f, sem_out):
+            def win_dma(t, slot):
+                """Field-window copy for tile t into double-buffer slot.
+
+                Windows are read-only, so tile t+1's fetch can fly while
+                tile t contracts -- the per-tile DMA latency (the serial
+                floor when tiles are small, e.g. 512^3 z-blocked has 128K
+                tiles) hides behind compute. Issued for EVERY tile (even
+                empty ones) so starts/waits pair up unconditionally.
+                """
+                zb = lax.rem(t, jnp.int32(nbz))
+                tyx = lax.div(t, jnp.int32(nbz))
+                yb = lax.rem(tyx, jnp.int32(nby))
+                plane = lax.div(tyx, jnp.int32(nby))
+                return pltpu.make_async_copy(
+                    fext_hbm.at[
+                        :, pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
+                        pl.ds(zb * zbs, wz_pad),
+                    ],
+                    fwin.at[slot],
+                    sem_f.at[slot],
+                )
+
+            win_dma(jnp.int32(0), jnp.int32(0)).start()
+
             def tile_body(t, _):
                 start = starts_ref[t]
                 end = starts_ref[t + 1]
+                fslot = lax.rem(t, jnp.int32(2))
+
+                @pl.when(t + 1 < ntiles)
+                def _():
+                    win_dma(t + 1, 1 - fslot).start()
+
+                win_dma(t, fslot).wait()
 
                 @pl.when(end > start)
                 def _():
-                    zb = lax.rem(t, jnp.int32(nbz))
                     tyx = lax.div(t, jnp.int32(nbz))
                     yb = lax.rem(tyx, jnp.int32(nby))
                     plane = lax.div(tyx, jnp.int32(nby))
+                    zb = lax.rem(t, jnp.int32(nbz))
                     gplane = plane + plane0_ref[0]
-                    c0 = lax.div(start, jnp.int32(Q))
-                    c1 = lax.div(end + jnp.int32(Q - 1), jnp.int32(Q))
-                    fdma = pltpu.make_async_copy(
-                        fext_hbm.at[
-                            :, pl.ds(plane, wx_eff), pl.ds(yb * YB, wy_pad),
-                            pl.ds(zb * zbs, wz_pad),
-                        ],
-                        fwin,
-                        sem_f,
-                    )
-                    fdma.start()
+                    c0 = lax.div(start, jnp.int32(q))
+                    c1 = lax.div(end + jnp.int32(q - 1), jnp.int32(q))
 
                     def start_dma(c, slot):
-                        off = pl.multiple_of(c * Q, Q)
+                        off = pl.multiple_of(c * q, q)
                         pltpu.make_async_copy(
-                            pos_hbm.at[:, pl.ds(off, Q)],
+                            pos_hbm.at[:, pl.ds(off, q)],
                             pos_buf.at[slot],
                             sem_in.at[slot],
                         ).start()
                         # current output content (straddle-chunk merge)
                         pltpu.make_async_copy(
-                            out_ref.at[:, pl.ds(off, Q)],
+                            out_ref.at[:, pl.ds(off, q)],
                             cur_buf.at[slot],
                             sem_cur.at[slot],
                         ).start()
 
                     start_dma(c0, lax.rem(c0, jnp.int32(2)))
-                    fdma.wait()
                     # flatten the window once per tile (doing it per chunk
                     # re-materialises 147 KB through the VPU every 512
                     # particles)
-                    fw_flat[...] = fwin[...].reshape(ncomp * rows, wz_pad)
+                    fw_flat[...] = fwin[fslot].reshape(ncomp * rows, wz_pad)
 
                     def chunk_body(c, _):
                         slot = lax.rem(c, jnp.int32(2))
@@ -754,18 +880,18 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                         def _():
                             start_dma(c + 1, lax.rem(c + 1, jnp.int32(2)))
 
-                        off = pl.multiple_of(c * Q, Q)
+                        off = pl.multiple_of(c * q, q)
                         pltpu.make_async_copy(
-                            pos_hbm.at[:, pl.ds(off, Q)],
+                            pos_hbm.at[:, pl.ds(off, q)],
                             pos_buf.at[slot],
                             sem_in.at[slot],
                         ).wait()
                         chunk = pos_buf[slot]
-                        gi = off + lax.broadcasted_iota(I32, (1, Q), 1)
+                        gi = off + lax.broadcasted_iota(I32, (1, q), 1)
                         valid = ((gi >= start) & (gi < end)).astype(F32)
                         a_mat, wz_mat = _chunk_weights(
                             scheme, m, w, wy_pad, chunk, yb,
-                            jnp.ones((1, Q), F32), Q, gplane, drift,
+                            jnp.ones((1, q), F32), q, gplane, drift,
                             zb, zbs, nbz, wz_pad,
                         )
                         # one fused MXU dot over all components:
@@ -773,23 +899,23 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                         t1 = _dot(
                             fw_flat[...], wz_mat, (((1,), (0,)), ((), ())),
                             precision,
-                        ).reshape(ncomp, rows, Q)
+                        ).reshape(ncomp, rows, q)
                         vals = jnp.sum(t1 * a_mat[None, :, :], axis=1)
                         vals = jnp.concatenate(
-                            [vals, jnp.zeros((4 - ncomp, Q), F32)], axis=0
+                            [vals, jnp.zeros((4 - ncomp, q), F32)], axis=0
                         )
                         # wait for this slot's previous output write, then
                         # merge with current content and write back
                         @pl.when(c >= c0 + 2)
                         def _():
-                            off_prev = pl.multiple_of((c - 2) * Q, Q)
+                            off_prev = pl.multiple_of((c - 2) * q, q)
                             pltpu.make_async_copy(
                                 out_buf.at[slot],
-                                out_ref.at[:, pl.ds(off_prev, Q)],
+                                out_ref.at[:, pl.ds(off_prev, q)],
                                 sem_out.at[slot],
                             ).wait()
                         pltpu.make_async_copy(
-                            out_ref.at[:, pl.ds(off, Q)],
+                            out_ref.at[:, pl.ds(off, q)],
                             cur_buf.at[slot],
                             sem_cur.at[slot],
                         ).wait()
@@ -798,7 +924,7 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                         )
                         pltpu.make_async_copy(
                             out_buf.at[slot],
-                            out_ref.at[:, pl.ds(off, Q)],
+                            out_ref.at[:, pl.ds(off, q)],
                             sem_out.at[slot],
                         ).start()
                         return 0
@@ -809,10 +935,10 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
                     # next tile may read the straddling chunk
                     def drain(c, _):
                         slot = lax.rem(c, jnp.int32(2))
-                        off_d = pl.multiple_of(c * Q, Q)
+                        off_d = pl.multiple_of(c * q, q)
                         pltpu.make_async_copy(
                             out_buf.at[slot],
-                            out_ref.at[:, pl.ds(off_d, Q)],
+                            out_ref.at[:, pl.ds(off_d, q)],
                             sem_out.at[slot],
                         ).wait()
                         return 0
@@ -825,14 +951,14 @@ def _gather_kernel(scheme: str, m: int, ncomp: int, n_planes: int,
 
         pl.run_scoped(
             run,
-            pos_buf=pltpu.VMEM((2, 4, Q), F32),
-            cur_buf=pltpu.VMEM((2, 4, Q), F32),
-            fwin=pltpu.VMEM((ncomp, wx_eff, wy_pad, wz_pad), F32),
+            pos_buf=pltpu.VMEM((2, 4, q), F32),
+            cur_buf=pltpu.VMEM((2, 4, q), F32),
+            fwin=pltpu.VMEM((2, ncomp, wx_eff, wy_pad, wz_pad), F32),
             fw_flat=pltpu.VMEM((ncomp * rows, wz_pad), F32),
-            out_buf=pltpu.VMEM((2, 4, Q), F32),
+            out_buf=pltpu.VMEM((2, 4, q), F32),
             sem_in=pltpu.SemaphoreType.DMA((2,)),
             sem_cur=pltpu.SemaphoreType.DMA((2,)),
-            sem_f=pltpu.SemaphoreType.DMA,
+            sem_f=pltpu.SemaphoreType.DMA((2,)),
             sem_out=pltpu.SemaphoreType.DMA((2,)),
         )
 
@@ -906,8 +1032,9 @@ def gather_vec_slab(field_ext, position_sorted, tile_starts, scheme: str,
     fc = _extend_z(fc, m, wz_pad, zbs, nbz, drift)
 
     zeros = jnp.zeros((4, npad), F32)
+    q = _chunk_q(npad, ntiles)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp, n_planes, drift, precision),
+        _gather_kernel(scheme, m, ncomp, n_planes, drift, precision, q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -973,8 +1100,9 @@ def gather_vec_cl(field_cl, position_sorted, tile_starts, scheme: str,
     fc = _extend_z(fc, m, wz_pad, zbs, nbz, drift)
 
     zeros = jnp.zeros((4, npad), F32)
+    q = _chunk_q(npad, ntiles)
     out = pl.pallas_call(
-        _gather_kernel(scheme, m, ncomp, m, drift, precision),
+        _gather_kernel(scheme, m, ncomp, m, drift, precision, q),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

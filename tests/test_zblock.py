@@ -13,8 +13,11 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _CHILD = r"""
 import json
+import os
 import jax
 
 # the container's sitecustomize forces the axon backend regardless of
@@ -25,13 +28,14 @@ import numpy as np
 import jax.numpy as jnp
 from pysco_tpu.ops import mesh, pallas_pm
 
-assert pallas_pm.n_zblocks(16) == 2  # the env override took effect
+m = int(os.environ["ZBLOCK_TEST_M"])
+schemes = os.environ["ZBLOCK_TEST_SCHEMES"].split(",")
+assert pallas_pm.n_zblocks(m) == m // 8  # the env override took effect
 
 out = {}
 rng = np.random.default_rng(0)
-m = 16
 n = 3000
-for scheme in ("ngp", "cic", "tsc"):
+for scheme in schemes:
     for drift in (0, 2):
         pos_r = rng.random((n, 3)).astype(np.float32)
         vel_r = rng.standard_normal((n, 3)).astype(np.float32)
@@ -72,9 +76,14 @@ print("@@" + json.dumps(out))
 """
 
 
-def test_zblocked_engine_matches_scatter():
+# m=16 (nby=2): strictly serial deposit order; m=32 (nby=4): the
+# pipelined read-ahead/write-behind phase order is active, with 4
+# z-blocks exercising the z-phase stride too
+@pytest.mark.parametrize("m,schemes", [(16, "ngp,cic,tsc"), (32, "cic")])
+def test_zblocked_engine_matches_scatter(m, schemes):
     env = dict(os.environ)
-    env.update({"PYSCO_TPU_ZB": "8", "JAX_PLATFORMS": "cpu"})
+    env.update({"PYSCO_TPU_ZB": "8", "JAX_PLATFORMS": "cpu",
+                "ZBLOCK_TEST_M": str(m), "ZBLOCK_TEST_SCHEMES": schemes})
     r = subprocess.run(
         [sys.executable, "-c", _CHILD],
         env=env, capture_output=True, text=True, timeout=1200,

@@ -42,10 +42,10 @@ def geometry(m, scheme, drift=0):
     w = {"ngp": 1, "cic": 2, "tsc": 3}[scheme]
     wx = w + 2 * drift
     wy = YB + w - 1 + 2 * drift
-    # z-blocked tiles at m >= 1024 (pallas_pm._zb_size): the window's z
+    # z-blocked tiles at m >= 512 (pallas_pm._zb_size): the window's z
     # extent is the z-block window, not the full grid (model counts the
     # unpadded algorithmic extent, consistent with wy above)
-    zbs = 256 if m >= 1024 and m % 256 == 0 else m
+    zbs = 128 if m >= 512 and m % 128 == 0 else m
     wz = (zbs + w - 1 + 2 * drift) if zbs < m else m
     return w, wx, wy, wz
 
