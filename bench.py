@@ -7,8 +7,8 @@ then appended in priority order under a global wall-clock budget
 (BENCH_BUDGET_S, default 900 s) and the full table is printed as the
 FINAL JSON line -- so a driver timeout can only ever cost the lowest-
 priority extras, never the headline. A persistent XLA compilation cache
-(.jax_cache/, prewarmed in-repo) removes the ~4 min/config compile cost
-on reruns.
+(~/.cache/pysco_tpu/xla_cache, shared with pysco_tpu.run(), prewarmed)
+removes the ~4 min/config compile cost on reruns.
 
 Baseline honesty: the actual reference (PySCo, Numba/LLVM multithreaded
 CPU) cannot run in this image (numba/astropy/pyfftw are not installed,
@@ -51,19 +51,14 @@ def _setup_compile_cache():
     backend: 22.5 s -> 3.6 s on a rerun). Compile time dominates every
     config (~230 s cold for the 256^3 headline vs ~2 s of measured
     steps), so a prewarmed cache is what makes the full table fit any
-    realistic driver budget."""
-    import jax
+    realistic driver budget.
 
-    cache_dir = os.environ.get(
-        "BENCH_JAX_CACHE",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-    except Exception:
-        pass  # older jax: run without the cache
+    The cache lives in the per-user directory shared with pysco_tpu.run()
+    (~/.cache/pysco_tpu/xla_cache) so a `git clean` of the repo between
+    sessions cannot evict it; BENCH_JAX_CACHE overrides the location."""
+    from pysco_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(os.environ.get("BENCH_JAX_CACHE"))
 
 
 def _device_state(npart, seed=0):

@@ -33,13 +33,11 @@ def main():
     if "--cpu" in sys.argv:
         jax.config.update("jax_platforms", "cpu")
 
-    cache = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache",
-    )
-    jax.config.update("jax_compilation_cache_dir", cache)
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    # per-user persistent cache shared with bench.py and pysco_tpu.run()
+    # (a repo-local dir is evicted by `git clean` between sessions)
+    from pysco_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(os.environ.get("BENCH_JAX_CACHE"))
 
     import jax.numpy as jnp
     import jax.random as jr
