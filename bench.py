@@ -4,7 +4,7 @@ The headline metric (BASELINE.json) is PM steps/sec at 256^3 (Newton,
 CIC + FFT). It is measured FIRST and printed immediately as a complete
 JSON line; extras (512^3, f(R), lazy modes, per-component timings) are
 then appended in priority order under a global wall-clock budget
-(BENCH_BUDGET_S, default 900 s) and the full table is printed as the
+(BENCH_BUDGET_S, default 2100 s) and the full table is printed as the
 FINAL JSON line -- so a driver timeout can only ever cost the lowest-
 priority extras, never the headline. A persistent XLA compilation cache
 (~/.cache/pysco_tpu/xla_cache, shared with pysco_tpu.run(), prewarmed)
@@ -35,10 +35,14 @@ ITERS = 10
 ASSUMED_REFERENCE_CORES = 32
 
 # Global wall-clock budget (seconds). The driver runs bench.py under a
-# timeout; rather than lose everything when it fires (round 2: rc 124,
-# parsed null), the headline is measured and printed FIRST, and every
-# further config is gated on the remaining budget ("skipped (budget)").
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+# ~2400 s timeout; rather than lose everything when it fires (round 2:
+# rc 124, parsed null), the headline is measured and printed FIRST, and
+# every further config is gated on the remaining budget ("skipped
+# (budget)"). Default 2100 leaves ~300 s of slack for the device probe,
+# imports and the final table write under the driver's timeout. (The
+# round-3 default of 900 was the binding constraint that budget-skipped
+# every 512^3 row in the driver capture.)
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
 _T0 = time.perf_counter()
 
 
@@ -55,7 +59,11 @@ def _setup_compile_cache():
 
     The cache lives in the per-user directory shared with pysco_tpu.run()
     (~/.cache/pysco_tpu/xla_cache) so a `git clean` of the repo between
-    sessions cannot evict it; BENCH_JAX_CACHE overrides the location."""
+    sessions cannot evict it. BENCH_JAX_CACHE has the same semantics as
+    the `compile_cache` param key (utils/compile_cache.py): a path
+    overrides the location, '0'/'no'/'off' disables the cache entirely,
+    and 'yes'/'1'/'on'/empty keep the PYSCO_TPU_JAX_CACHE/per-user
+    default."""
     from pysco_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(os.environ.get("BENCH_JAX_CACHE"))
@@ -421,8 +429,22 @@ def _load_cpu_baseline() -> float:
     return baseline
 
 
-def _result_dict(value, baseline, extra, components, components_512=None):
-    return {
+def _load_cpu_baseline_512():
+    """Directly measured 512^3 single-core stand-in, if available
+    (tools/cpu_baseline_512.py). Returns None when never measured; the
+    512^3 vs_baseline then falls back to the 8x-volume extrapolation of
+    the 256^3 number (and says so)."""
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_cpu_baseline_512.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["steps_per_sec"]
+    return None
+
+
+def _result_dict(value, baseline, extra, components, components_512=None,
+                 baseline_512=None):
+    out = {
         "metric":
             "PM steps/sec, Newton 256^3 grid + 256^3 particles (CIC+FFT)",
         "value": round(value, 3),
@@ -440,13 +462,34 @@ def _result_dict(value, baseline, extra, components, components_512=None):
         "component_ms_256_tsc": components,
         "component_ms_512_cic": components_512 or {"skipped": "budget"},
     }
+    # 512^3 north-star ratios against the DIRECTLY measured 512^3
+    # single-core stand-in (tools/cpu_baseline_512.py) when it exists --
+    # removes the 8x-volume extrapolation link from the vs-reference
+    # chain (VERDICT r3 weak item 2).
+    if baseline_512:
+        out["cpu_baseline_512_steps_per_sec"] = round(baseline_512, 6)
+        for row, key in (("newton_cic_fft_512", "vs_baseline_512"),
+                         ("newton_cic_fft_512_lazy_courant05",
+                          "vs_baseline_512_courant05"),
+                         ("fr_n1_cic_multigrid_512", "vs_baseline_512_fr")):
+            v = extra.get(row)
+            if isinstance(v, (int, float)):
+                out[key] = round(v / baseline_512, 2)
+                out[key + "_est_32core"] = round(
+                    v / baseline_512 / ASSUMED_REFERENCE_CORES, 2)
+    return out
+
+
+def _lazy_rows(prefix, scheme="cic", **kwargs):
+    """Lazy-cadence rows as a dict (JSON-able: usable via _run_isolated)."""
+    lz = bench_lazy(scheme, **kwargs)
+    return {f"{prefix}_lazy_skip": lz["skip"],
+            f"{prefix}_lazy_alternating": lz["alt"],
+            f"{prefix}_lazy_courant05": lz["c05"]}
 
 
 def _lazy_task(extra, prefix, scheme="cic", **kwargs):
-    lz = bench_lazy(scheme, **kwargs)
-    extra[f"{prefix}_lazy_skip"] = lz["skip"]
-    extra[f"{prefix}_lazy_alternating"] = lz["alt"]
-    extra[f"{prefix}_lazy_courant05"] = lz["c05"]
+    extra.update(_lazy_rows(prefix, scheme, **kwargs))
 
 
 def _probe_tpu() -> bool:
@@ -493,6 +536,7 @@ def main():
     import pysco_tpu  # noqa: F401
 
     baseline = _load_cpu_baseline()  # cached file in normal operation
+    baseline_512 = _load_cpu_baseline_512()  # None until measured once
 
     # --- headline FIRST, printed the moment it exists -----------------
     t_cfg = time.perf_counter()
@@ -536,40 +580,48 @@ def main():
         c = by_label[label]
         return (label, c[1], 1, lambda e: cfg_task(e, *c))
 
-    # (first_key, ncoarse, n_programs, fn) in priority order. The f(R)
-    # and 512^3 rows come right after the headline (the BASELINE north
-    # stars), then the production lazy cadences, then breadth. The two
-    # OOM-risky tasks (512^3 on-device ICs, 512^3 component table) run
-    # LAST: a device-memory failure there must never be able to poison
-    # graded step-rate rows (the round-3 recapture lost every TSC row to
-    # exactly that cascade).
+    def iso(e, label, expr):
+        """Run one task in a FRESH subprocess and store its result.
+
+        Every 512^3 task runs isolated: full HBM with zero fragmentation
+        from earlier tasks (the round-3 first capture lost every TSC row
+        to an OOM cascade after an in-process 512^3 task), and the
+        persistent compile cache keeps the subprocess compiles warm."""
+        e[label] = _run_isolated(expr, _remaining() - 30)
+
+    def iso_update(e, expr):
+        e.update(_run_isolated(expr, _remaining() - 30))
+
+    # (first_key, ncoarse, n_programs, fn) in priority order. The
+    # BASELINE north-star 512^3 rows (Newton + f(R), eager AND the
+    # production Courant-0.5 lazy cadence) come immediately after the
+    # headline, each in its own subprocess; then the 256^3 f(R)/lazy
+    # rows, then breadth. The OOM-risky tails (512^3 component table,
+    # on-device ICs) stay last AND isolated.
     tasks = [
+        ("newton_cic_fft_512", 9, 1, lambda e: iso(
+            e, "newton_cic_fft_512",
+            "round(bench.bench_config(9, 512 ** 3, 'cic', 'newton', "
+            "'fft', iters=4, warmup=2), 3)")),
+        ("fr_n1_cic_multigrid_512", 9, 3, lambda e: iso(
+            e, "fr_n1_cic_multigrid_512",
+            "round(bench.bench_config(9, 512 ** 3, 'cic', 'fr', "
+            "'multigrid', iters=3, warmup=2), 3)")),
+        ("newton_cic_fft_512_lazy_skip", 9, 4, lambda e: iso_update(
+            e, "bench._lazy_rows('newton_cic_fft_512', scheme='cic', "
+            "iters_outer=2, ncoarse=9, npart=512 ** 3)")),
+        ("fr_n1_cic_multigrid_512_lazy_skip", 9, 4, lambda e: iso_update(
+            e, "bench._lazy_rows('fr_n1_cic_multigrid_512', scheme='cic', "
+            "iters_outer=2, ncoarse=9, npart=512 ** 3, theory='fr', "
+            "solver_name='multigrid')")),
         cfg("fr_n1_tsc_multigrid_256"),
-        cfg("newton_cic_fft_512"),
-        cfg("fr_n1_cic_multigrid_512"),
         ("newton_cic_fft_256_lazy_skip", 8, 4,
          lambda e: _lazy_task(e, "newton_cic_fft_256", iters_outer=4)),
-        ("newton_cic_fft_512_lazy_skip", 9, 4,
-         lambda e: _lazy_task(e, "newton_cic_fft_512", iters_outer=2,
-                              ncoarse=9, npart=512 ** 3)),
         ("fr_n1_tsc_multigrid_256_lazy_skip", 8, 4,
          lambda e: _lazy_task(e, "fr_n1_tsc_multigrid_256", scheme="tsc",
                               iters_outer=3, theory="fr",
                               solver_name="multigrid")),
-        ("fr_n1_cic_multigrid_512_lazy_skip", 9, 4,
-         lambda e: _lazy_task(e, "fr_n1_cic_multigrid_512", scheme="cic",
-                              iters_outer=2, ncoarse=9, npart=512 ** 3,
-                              theory="fr", solver_name="multigrid")),
-        # A/B for the dominant cost (the per-force tile sort): the
-        # two-round shifted block sort (sort_mode=nearly) vs the global
-        # 7-operand sort the headline uses -- captured here so a single
-        # driver run provides the data that decides the next default.
-        ("newton_cic_fft_256_nearly", 8, 1,
-         lambda e: cfg_task(e, "newton_cic_fft_256_nearly", 8, 256 ** 3,
-                            "cic", "newton", "fft", ITERS,
-                            extra_param={"sort_mode": "nearly"})),
         cfg("newton_tsc_multigrid_256"),
-        cfg("newton_tsc_fft_256"),
         ("components", 8, 2, None),      # handled specially below
         cfg("parametrized_tsc_fft_256"),
         cfg("mond_tsc_multigrid_256"),
@@ -620,7 +672,7 @@ def main():
         """Cumulative table after every task (stdout AND the JSON file):
         a driver timeout can only cost the tasks not yet run."""
         result = _result_dict(value, baseline, extra, components,
-                              components_512)
+                              components_512, baseline_512)
         print(json.dumps(result), flush=True)
         try:
             _merge_latest(result)
@@ -685,7 +737,8 @@ def main():
 
     # --- final line: the full table (last JSON line wins; nothing may
     # print to stdout after it -- the driver parses the LAST line) -----
-    result = _result_dict(value, baseline, extra, components, components_512)
+    result = _result_dict(value, baseline, extra, components, components_512,
+                          baseline_512)
     try:  # machine-readable source of truth for README/BENCH_NOTES tables
         root = os.path.dirname(os.path.abspath(__file__))
         _merge_latest(result)

@@ -480,7 +480,10 @@ def _run_replicated(param, tables, cfg, integrator, pk_mode, position,
 def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
               z_out, state=None) -> None:
     """Slab-decomposed run loop: grids AND particles sharded over every
-    attached device (parallel/slab.py). Newton/parametrized + fft solvers.
+    attached device (parallel/slab.py). Dispatches EVERY theory (newton,
+    parametrized, fr n=1/2, mond) and every solver (fft, fft_7pt,
+    full_fft, multigrid/FAS via parallel/slab_mg.py); particle engine is
+    pallas-only in this mode (slab.py:419-516, tests/test_slab.py).
     ``state`` short-circuits the host-side distribution when the ICs were
     generated sharded on device (parallel/ic_slab.py)."""
     from .parallel import slab

@@ -34,7 +34,10 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     # per-user persistent cache shared with bench.py and pysco_tpu.run()
-    # (a repo-local dir is evicted by `git clean` between sessions)
+    # (a repo-local dir is evicted by `git clean` between sessions).
+    # BENCH_JAX_CACHE follows the `compile_cache` param semantics: a path
+    # overrides the dir, '0'/'no'/'off' disables, 'yes'/'1'/empty keep
+    # the default (utils/compile_cache.py).
     from pysco_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(os.environ.get("BENCH_JAX_CACHE"))
