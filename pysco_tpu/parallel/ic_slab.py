@@ -10,7 +10,10 @@ pencil-FFT primitives (one ``all_to_all`` per 3D FFT). Nothing larger
 than ``1/D`` of a grid ever exists per device, so IC generation scales to
 box sizes where the single-chip path would OOM (1024^3: ~30 GB of column
 state + ~4 GB k-grids vs 16 GB HBM) -- the step itself already scales
-this way, this closes the last single-chip stage.
+this way, this closes the last single-chip stage. The claim is proven
+at shape level in tests/test_1024_shapes.py: every sharded stage traced
+at 1024^3 over 8 devices, no per-shard intermediate above 1.5x shard
+scale.
 
 The maths mirrors :mod:`pysco_tpu.ic_device` operation for operation
 (same op order, same float32 constants; reference
