@@ -75,7 +75,11 @@ def _compare(pks_a, pks_b, rtol, context):
 def test_full_run_pallas_lazy_vs_scatter(tmp_path):
     pks_pallas = _run(tmp_path, "pallas", True)
     pks_scatter = _run(tmp_path, "scatter", False)
-    _compare(pks_pallas, pks_scatter, 1e-3, "pallas-lazy vs scatter")
+    # measured floor 2026-08-20: max 2.9e-6 over all bins/redshifts --
+    # the engines agree far below the 0.1% target; 1e-4 keeps ~30x
+    # headroom for toolchain/instruction-set drift without ever letting
+    # a real physics regression through
+    _compare(pks_pallas, pks_scatter, 1e-4, "pallas-lazy vs scatter")
 
     # golden-file drift tracking (committed snapshot of the scatter run)
     assert os.path.exists(GOLDEN), (
@@ -84,7 +88,9 @@ def test_full_run_pallas_lazy_vs_scatter(tmp_path):
     )
     with open(GOLDEN) as f:
         golden = {k: np.array(v) for k, v in json.load(f).items()}
-    _compare(pks_scatter, golden, 5e-3, "scatter vs golden")
+    # bit-exact on the generating toolchain (measured 0.0); 1e-4 allows
+    # only FP-reassociation-level drift across XLA/machine versions
+    _compare(pks_scatter, golden, 1e-4, "scatter vs golden")
 
 
 def _golden():
@@ -103,14 +109,17 @@ def test_full_run_slab_vs_golden(tmp_path):
     over hundreds of steps as the single-device paths, not just the
     short-horizon slab equivalence tests."""
     pks = _run(tmp_path, "pallas", True, parallel_mode="slab")
-    _compare(pks, _golden(), 2e-3, "slab-lazy vs golden")
+    # measured floor 2026-08-20: 2.5e-6 vs golden (collective summation
+    # order is the only difference vs the single-device pallas run)
+    _compare(pks, _golden(), 1e-4, "slab-lazy vs golden")
 
 
 def test_full_run_replicated_vs_golden(tmp_path):
     """Full horizon in replicated-grid distribution mode (particles
     dp-sharded, psum'd deposit) against the committed golden P(k)."""
     pks = _run(tmp_path, "pallas", True, parallel_mode="replicated")
-    _compare(pks, _golden(), 2e-3, "replicated vs golden")
+    # measured floor 2026-08-20: 2.6e-6 vs golden
+    _compare(pks, _golden(), 1e-4, "replicated vs golden")
 
 
 def _regen():
