@@ -317,6 +317,11 @@ def run(param) -> None:
             presorted = _drift_level(
                 cum_drift + step_bound, cfg.lazy_drift
             )
+            if save_pk:
+                # measured P(k) always comes from a freshly sorted
+                # deposit: exact bins AND exact (pm_precision) MXU path
+                # regardless of the widened-pass precision mode
+                presorted = 0
             (position, velocity, acceleration, potential, u, tstarts, pk,
              diag) = integration.step_lazy(
                 cfg, integrator, presorted, save_pk,
@@ -601,6 +606,10 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         presorted = (
             _drift_level(cum_drift + step_bound, max_drift) if lazy else 0
         )
+        if save_pk:
+            # measured P(k) always comes from a freshly sorted deposit
+            # (exact bins + exact MXU path; see the single-device loop)
+            presorted = 0
         pos_d, vel_d, acc_d, phi_d, u_d, ts_d, pk, diag = step_fn(
             save_pk, presorted=presorted
         )(pos_d, vel_d, acc_d, phi_d, u_d, ts_d, dyn, np.float32(dt))

@@ -82,7 +82,12 @@ def _dot(a, b, dims, mode: str):
         return lax.dot_general(a, b, dims, preferred_element_type=F32,
                                precision=lax.Precision.HIGHEST)
     if mode == "bf16":
-        return d(a, b)
+        # explicit operand rounding: a no-op on the TPU MXU (which
+        # rounds inputs to bf16 in hardware under DEFAULT precision)
+        # but makes the CPU interpret path compute the same maths, so
+        # fidelity tests measure the real loss
+        bf16 = jnp.bfloat16
+        return d(a.astype(bf16).astype(F32), b.astype(bf16).astype(F32))
     if mode != "bf16x3":
         raise ValueError(f"unknown pm precision mode {mode!r}")
     bf16 = jnp.bfloat16

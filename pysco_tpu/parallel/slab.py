@@ -44,6 +44,7 @@ from ..integrate import StepDiagnostics
 from ..ops import pallas_pm
 from ..ops.dense_pm import _WIDTH, _base_axis
 from ..solver import DynScalars, SolverConfig
+from ..solver import widened_precisions as solver_mod_widened
 
 F32 = jnp.float32
 I32 = jnp.int32
@@ -619,9 +620,10 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
             position = position[:, :cap]
             velocity = velocity[:, :cap]
 
+        prec_dep, prec_gat = solver_mod_widened(cfg, drift)
         gp = pallas_pm.deposit_slab(
             position, tstarts, m, cfg.mass_scheme, interpret, planes,
-            drift, plane0, precision=cfg.pm_precision,
+            drift, plane0, precision=prec_dep,
         )
         density = add_spill(gp, planes, n_dev, lead=drift) * norm
 
@@ -633,7 +635,7 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
         f_ext = halo_lr(force, h_l, h_r, n_dev) if (h_l or h_r) else force
         acceleration = pallas_pm.gather_vec_slab(
             f_ext, position, tstarts, cfg.mass_scheme, interpret, drift,
-            plane0, precision=cfg.pm_precision,
+            plane0, precision=prec_gat,
         )
 
         if integrator == "leapfrog":

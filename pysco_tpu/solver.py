@@ -82,6 +82,18 @@ class SolverConfig:
     # is float32-faithful to ~1 ulp at half the f32-emulation cost;
     # "f32" is lax HIGHEST; "bf16" a single lossy pass.
     pm_precision: str = "bf16x3"
+    # Precision of the DRIFT-WIDENED (stale-bin) passes only. These are
+    # MXU-bound (2-3x window rows) and run on ~3 of every 4 production
+    # steps at Courant 0.5, so a single bf16 pass there cuts the
+    # dominant late-time kernel cost ~3x. Values: "bf16x3" (exact),
+    # "bf16-gather" (gather bf16, deposit stays exact -- the measured
+    # density and P(k) are untouched; only ~2e-3 force rounding on
+    # stale-bin steps), "bf16" (both). Full-horizon P(k) impact of each
+    # is bounded by tests/test_widened_precision.py. Default
+    # "bf16-gather": measured 1.1-1.3e-4 full-horizon P(k) impact (10x
+    # under the 0.1% BASELINE target) for ~3x less MXU work on the
+    # dominant widened gather.
+    pm_precision_widened: str = "bf16-gather"
     # Maximum lazy re-binning window (cells): the run loop keeps using
     # stale bins with drift-widened kernels until the accumulated CFL
     # drift bound exceeds this many cells, then re-sorts. At Courant
@@ -98,6 +110,21 @@ class SolverConfig:
     @property
     def mas_index(self) -> int:
         return {"ngp": 1, "cic": 2, "tsc": 3}[self.mass_scheme]
+
+
+def widened_precisions(cfg: SolverConfig, drift: int) -> tuple[str, str]:
+    """(deposit, gather) MXU precision for a pass at this drift level.
+
+    Sorted passes (drift == 0) always use ``pm_precision``; widened
+    passes honour ``pm_precision_widened``, where "bf16-gather" lowers
+    only the gather (the deposit feeds the measured density/P(k), the
+    gather only the forces)."""
+    if not drift:
+        return cfg.pm_precision, cfg.pm_precision
+    wp = cfg.pm_precision_widened
+    if wp == "bf16-gather":
+        return cfg.pm_precision, "bf16"
+    return wp, wp
 
 
 def config_from_param(param) -> SolverConfig:
@@ -128,6 +155,11 @@ def config_from_param(param) -> SolverConfig:
         pm_precision=str(param.get("pm_precision", "bf16x3")).casefold()
         if hasattr(param, "get")
         else "bf16x3",
+        pm_precision_widened=str(
+            param.get("pm_precision_widened", "bf16-gather")
+        ).casefold()
+        if hasattr(param, "get")
+        else "bf16-gather",
         lazy_drift=int(param.get("lazy_drift", 2))
         if hasattr(param, "get")
         else 2,
@@ -535,9 +567,10 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: int, save_pk: bool,
         )
         drift = 0
         overflow = jnp.int32(0)
+    prec_dep, prec_gat = widened_precisions(cfg, drift)
     density = pallas_pm.deposit(
         position, tstarts, n, cfg.mass_scheme, interpret, drift,
-        precision=cfg.pm_precision,
+        precision=prec_dep,
     )
     if n ** 3 != cfg.npart:
         density = density * norm
@@ -546,7 +579,7 @@ def _pm_lazy_impl(cfg: SolverConfig, presorted: int, save_pk: bool,
     )
     acceleration = pallas_pm.gather_vec_cl(
         force, position, tstarts, cfg.mass_scheme, interpret, drift,
-        precision=cfg.pm_precision,
+        precision=prec_gat,
     )
     return (position, velocity, tstarts, acceleration, potential, u, pk,
             overflow)

@@ -163,6 +163,13 @@ DEFAULTS: Dict[str, Any] = {
     # MXU precision of the pallas deposit/gather contractions:
     # bf16x3 (3-pass hi/lo split, float32-faithful) | f32 | bf16
     "pm_precision": "bf16x3",
+    # precision of the drift-widened (stale-bin) passes: "bf16-gather"
+    # (default) keeps the deposit exact (the measured density/P(k) are
+    # untouched) and rounds only the gather inputs to bf16 (~2e-3 force
+    # rounding on stale-bin steps, measured 1.1-1.3e-4 full-horizon
+    # P(k) impact, tests/test_widened_precision.py) for ~3x less MXU
+    # work; "bf16x3" is fully exact, "bf16" rounds both
+    "pm_precision_widened": "bf16-gather",
     # distribution: single (one chip) | replicated (particles sharded,
     # grids replicated + one density psum, parallel/pm.py) | slab
     # (grids AND particles sharded, parallel/slab.py)

@@ -46,6 +46,11 @@ def _run(tmp_path, engine, lazy, parallel_mode=None):
         "gradient_stencil_order": 5, "Npre": 2, "Npost": 1,
         "epsrel": 1e-2, "verbose": 0, "particle_engine": engine,
         "lazy_sort": lazy,
+        # exact-kernel mode: these tests prove the kernels/collectives
+        # agree to f32 roundoff. The production default (bf16-gather on
+        # widened passes) is bounded separately in
+        # tests/test_widened_precision.py.
+        "pm_precision_widened": "bf16x3",
     }
     if parallel_mode:
         param["parallel_mode"] = parallel_mode
