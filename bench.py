@@ -281,12 +281,31 @@ def _cpu_pm_step(pos, vel, acc, n, aexp, om_m, dt):
     return pos, vel, acc_new
 
 
+def _c05_pattern(max_drift: int):
+    """The honest production drift-level sequence at Courant 0.5: the
+    per-step drift bound is ~Courant cells (dt = Courant*dx/max|v| =>
+    bound = max|v|*dt = Courant*dx), so replay main._drift_level at 0.5
+    cells/step. max_drift=2 -> [0,1,2,2] (sort every 4th step);
+    max_drift=3 -> [0,1,2,2,3,3] (every 6th)."""
+    from pysco_tpu.main import _drift_level
+
+    cum, seq = 0.0, []
+    for _ in range(64):
+        lvl = _drift_level(cum + 0.5, max_drift)
+        seq.append(lvl)
+        cum = cum + 0.5 if lvl else 0.0
+        if len(seq) > 1 and lvl == 0:
+            break
+    i = seq.index(0) if 0 in seq else 0
+    return seq[i:] + seq[:i]
+
+
 def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
-               theory="newton", solver_name="fft"):
+               theory="newton", solver_name="fft", extra_param=None):
     """Lazy re-binning step rates: sort skipped every step (the
     early-epoch regime, drift bound << 1 cell), sort-every-2nd
-    (lazy_drift=1), and the production sort-every-4th cadence
-    (lazy_drift=2 windows at Courant ~0.5: levels 0,1,2,2)."""
+    (lazy_drift=1), and the production Courant-0.5 cadence (the
+    _c05_pattern drift-level sequence for the config's lazy_drift)."""
     import jax.numpy as jnp
     from pysco_tpu import integrate, solver as solver_mod
 
@@ -304,6 +323,8 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
         "unit_l": 3085.0, "unit_t": 1e10, "epsrel": 1e-2,
         "particle_engine": "pallas",
     }
+    if extra_param:
+        param.update(extra_param)
     cfg = solver_mod.config_from_param(param)
     dyn = solver_mod.compute_dynamics(param)
     pos, vel = _device_state(npart)
@@ -318,6 +339,7 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
     tstarts = jnp.zeros(pallas_pm.n_tiles(m) + 1, jnp.int32)
     state = (pos, vel, acc, phi, u, tstarts)
     dt = np.float32(1e-3)
+    c05 = _c05_pattern(cfg.lazy_drift)
 
     def lstep(state, presorted):
         out = integrate.step_lazy(cfg, "leapfrog", presorted, False,
@@ -325,12 +347,13 @@ def bench_lazy(scheme="cic", iters_outer=4, ncoarse=None, npart=None,
         return out[:6]
 
     state = lstep(state, 0)
-    state = lstep(state, 1)
-    state = lstep(state, 2)
+    for level in sorted(set(c05) | {1}):
+        if level:
+            state = lstep(state, level)
     _sync(state)
     out = {}
     for label, pattern in (("skip", [1]), ("alt", [0, 1]),
-                           ("c05", [0, 1, 2, 2])):
+                           ("c05", c05)):
         state = lstep(state, False)
         _sync(state)
         t0 = time.perf_counter()

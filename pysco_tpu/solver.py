@@ -97,11 +97,13 @@ class SolverConfig:
     # Maximum lazy re-binning window (cells): the run loop keeps using
     # stale bins with drift-widened kernels until the accumulated CFL
     # drift bound exceeds this many cells, then re-sorts. At Courant
-    # ~0.5 the default 2 stretches the tile sort (the single dominant
-    # step cost at 256^3+) to every 4th step; the window level is
-    # chosen per step, so early steps still run the tight drift=1
-    # kernels. 1 restores the round-2 behaviour; 0 sorts every step.
-    lazy_drift: int = 2
+    # ~0.5 the default 3 stretches the tile sort (the single dominant
+    # step cost at 256^3+) to every 6th step (levels 0,1,2,2,3,3); the
+    # window level is chosen per step, so early steps still run the
+    # tight drift=1 kernels. Measured 512^3 CIC production cadence
+    # (2026-08-20, with bf16-gather widened passes): 0.722 steps/s at
+    # 2 -> 0.757 at 3. 0 sorts every step.
+    lazy_drift: int = 3
 
     @property
     def ncells_1d(self) -> int:
@@ -160,9 +162,9 @@ def config_from_param(param) -> SolverConfig:
         ).casefold()
         if hasattr(param, "get")
         else "bf16-gather",
-        lazy_drift=int(param.get("lazy_drift", 2))
+        lazy_drift=int(param.get("lazy_drift", 3))
         if hasattr(param, "get")
-        else 2,
+        else 3,
     )
 
 

@@ -157,9 +157,10 @@ DEFAULTS: Dict[str, Any] = {
     # CFL-bounded lazy re-binning (pallas engine): skip the per-step tile
     # sort while the accumulated drift bound stays under lazy_drift cells
     "lazy_sort": True,
-    # maximum lazy window (cells): 2 stretches the tile sort to every 4th
-    # step at Courant ~0.5 (the sort is the dominant step cost at 256^3+)
-    "lazy_drift": 2,
+    # maximum lazy window (cells): 3 stretches the tile sort to every 6th
+    # step at Courant ~0.5 (the sort is the dominant step cost at 256^3+;
+    # levels 0,1,2,2,3,3 -- measured 512^3: 0.722 -> 0.757 steps/s vs 2)
+    "lazy_drift": 3,
     # MXU precision of the pallas deposit/gather contractions:
     # bf16x3 (3-pass hi/lo split, float32-faithful) | f32 | bf16
     "pm_precision": "bf16x3",
