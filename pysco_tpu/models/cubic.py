@@ -11,6 +11,20 @@ Conventions (h = 1/N):
 - operator(x, b, q)[ijk] = x^3 + p x + q h^2,
   p = h^2 b - (1/6) sum_nb x_nb^2
 - Gauss-Seidel solves the cubic with d1 = 27 (q h^2 - rhs).
+
+Known method property (shared with the reference scheme): on an EXACTLY
+uniform density the solve stays on a nonphysical small root. The
+uniform fixed point of the operator is u = -q/b (= 1, the background
+scalaron, by construction of the f1/f2/q scalings), but the
+zero-neighbour first guess (~cbrt(-h^2 q), orders of magnitude below
+1) is itself a near-root in absolute residual -- the per-cell cubic is
+nearly degenerate when the neighbour coupling carries no contrast --
+so the FAS "converges" immediately on the small branch. Any real
+density contrast breaks the degeneracy and the solve climbs to the
+physical branch (production runs sit at mean(u) ~ 1, logged every 10
+steps). The reference seeds the same zero-neighbour guess
+(cubic.py:217), so its behaviour on this degenerate input is
+identical; it never occurs with actual ICs.
 """
 
 from __future__ import annotations
