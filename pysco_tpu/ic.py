@@ -5,7 +5,9 @@ device-resident run loop). The white-noise generator reproduces the
 reference's exact RNG stream and Hermitian-symmetrisation write order
 (``initial_conditions.py:585-732``) -- including the overlapping-plane
 last-write-wins resolution and corner fixes -- so that same-seed runs
-produce the same realisation as the reference. LPT algebra (2LPT Hessian
+produce the same realisation as the reference (bit-exact oracle:
+tests/test_rng_oracle.py; one documented deviation: the force-space
+kernel wraps kz, see ``_force_kernels_upper``). LPT algebra (2LPT Hessian
 source, 3LPT a/b/c terms with the rotational Ax/Ay/Az parts, Orszag 3/2
 dealiasing) follows ``initial_conditions.py:976-1680``.
 
@@ -201,7 +203,17 @@ def white_noise_fourier_fixed(
 
 def _force_kernels_upper(ncells_1d: int):
     """Per-axis spectral displacement kernels g_a(k) = -i k_a/(2 pi k^2)
-    evaluated on the upper half-space (x-plane <= middle, full y/z)."""
+    evaluated on the upper half-space (x-plane <= middle, full y/z).
+
+    Deliberate deviation from the reference: kz is WRAPPED to the
+    fftfreq convention (kz = k - n for k >= n/2) like kx/ky, where the
+    reference uses the raw index (``kz = np.float32(k)``,
+    initial_conditions.py:782) -- giving the negative-frequency
+    z-columns (half of all modes) a kernel with the wrong magnitude and
+    sign (e.g. k=15 at n=16: |g| ~ 1/15 instead of 1, sign flipped).
+    The RNG *stream* is still consumed identically; only the kernel
+    applied to those draws differs. Pinned bit-exactly against an
+    independent scalar-loop oracle in tests/test_rng_oracle.py."""
     middle = ncells_1d // 2
     k_full = ((np.arange(ncells_1d) + middle) % ncells_1d - middle).astype(F32)
     kx = k_full[: middle + 1][:, None, None]
