@@ -317,10 +317,16 @@ def run(param) -> None:
             presorted = _drift_level(
                 cum_drift + step_bound, cfg.lazy_drift
             )
-            if save_pk:
-                # measured P(k) always comes from a freshly sorted
-                # deposit: exact bins AND exact (pm_precision) MXU path
-                # regardless of the widened-pass precision mode
+            if save_pk and not solver_mod.widened_deposit_exact(cfg):
+                # measured P(k) must come from a deposit at the exact
+                # (pm_precision) MXU path; when the widened-pass mode
+                # lowers the DEPOSIT (pm_precision_widened="bf16"),
+                # force a fresh sort. The default "bf16-gather" and
+                # "bf16x3" modes keep the deposit exact, so P(k) steps
+                # keep the lazy cadence (a widened deposit puts the same
+                # weights in the same cells; only tile summation order
+                # differs, ~1 ulp f32) -- ADVICE r4: save_pk no longer
+                # disables lazy re-binning under the default mode.
                 presorted = 0
             (position, velocity, acceleration, potential, u, tstarts, pk,
              diag) = integration.step_lazy(
@@ -606,9 +612,9 @@ def _run_slab(param, tables, cfg, integrator, pk_mode, position, velocity,
         presorted = (
             _drift_level(cum_drift + step_bound, max_drift) if lazy else 0
         )
-        if save_pk:
-            # measured P(k) always comes from a freshly sorted deposit
-            # (exact bins + exact MXU path; see the single-device loop)
+        if save_pk and not solver_mod.widened_deposit_exact(cfg):
+            # sort only when the widened-pass mode lowers the DEPOSIT
+            # precision (see the single-device loop)
             presorted = 0
         pos_d, vel_d, acc_d, phi_d, u_d, ts_d, pk, diag = step_fn(
             save_pk, presorted=presorted

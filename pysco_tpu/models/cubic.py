@@ -25,6 +25,17 @@ physical branch (production runs sit at mean(u) ~ 1, logged every 10
 steps). The reference seeds the same zero-neighbour guess
 (cubic.py:217), so its behaviour on this degenerate input is
 identical; it never occurs with actual ICs.
+
+Adjudicated round 5 (tools/scalaron_seed_ab.py, 32^3): a
+background-seeded first guess u0 = -q/b (the exact uniform fixed
+point) makes the degenerate case exact -- uniform density converges to
+u = 1 with zero residual in one cycle -- but it DIVERGES on any
+density with contrast (cells with b near 0 blow the seed up; even
+clipped to (0, 10] the FAS lands at mean(u) ~ 4e5 with an infinite
+residual, vs a finite converged solve from the zero-neighbour seed),
+and on near-uniform input it would select a different branch than the
+reference's identical scheme. Not adopted: reference parity and
+contrast robustness outrank exactness on an input that cannot occur.
 """
 
 from __future__ import annotations

@@ -62,7 +62,7 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
         )
         density = pallas_pm.deposit(
             position, tstarts, n, cfg.mass_scheme, interpret,
-            precision=cfg.pm_precision,
+            precision=solver_mod.sorted_precisions(cfg)[0],
         )
         overflow = jnp.int32(0)
     elif cfg.particle_engine == "dense":
@@ -84,7 +84,7 @@ def _sharded_pm(cfg: SolverConfig, first_call: bool, save_pk: bool,
 
         acc = pallas_pm.gather_vec(
             force, position, tstarts, cfg.mass_scheme, interpret,
-            precision=cfg.pm_precision,
+            precision=solver_mod.sorted_precisions(cfg)[1],
         )
     elif cfg.particle_engine == "dense":
         acc = dense_pm.gather_vec(force, position, starts, cfg.mass_scheme)

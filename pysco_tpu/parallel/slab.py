@@ -526,7 +526,7 @@ def _solve_slab(cfg: SolverConfig, density, phi, u, dyn: DynScalars, m: int,
 
 def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
                    save_pk: bool = False, first_call: bool = False,
-                   presorted: int = 0):
+                   presorted: int = 0, donate: bool = False):
     """Build the jitted slab-sharded KDK step.
 
     State per shard: pos/vel column arrays (4, C) with sentinel empties,
@@ -651,6 +651,13 @@ def make_slab_step(cfg: SolverConfig, mesh: Mesh, integrator: str = "leapfrog",
             pk = F32(0)
         return position, velocity, acceleration, phi, u, tstarts, pk, diag
 
+    # donation matters only when one device holds (nearly) the whole
+    # problem -- the D=1 distribution-overhead bench at 512^3 (bench.py
+    # bench_dist_d1) does not fit HBM with double-buffered state. The
+    # production loop keeps the default: _run_slab re-uses the previous
+    # state for rebalance decisions after the step returns.
+    if donate:
+        return jax.jit(step_shard, donate_argnums=(0, 1, 2, 3, 4, 5))
     return jax.jit(step_shard)
 
 

@@ -80,7 +80,11 @@ class SolverConfig:
     # MXU precision of the pallas deposit/gather contractions (the hot
     # cost at large grids; see ops/pallas_pm._dot): "bf16x3" (default)
     # is float32-faithful to ~1 ulp at half the f32-emulation cost;
-    # "f32" is lax HIGHEST; "bf16" a single lossy pass.
+    # "f32" is lax HIGHEST; "bf16" a single lossy pass; "bf16-gather"
+    # keeps the deposit exact (bf16x3) and lowers only the gather of
+    # SORTED passes to one bf16 pass (adjudicated round 5: see
+    # tests/test_widened_precision.py for the P(k) bound and
+    # BENCH_NOTES.md for the measured step rates).
     pm_precision: str = "bf16x3"
     # Precision of the DRIFT-WIDENED (stale-bin) passes only. These are
     # MXU-bound (2-3x window rows) and run on ~3 of every 4 production
@@ -117,19 +121,57 @@ class SolverConfig:
 def widened_precisions(cfg: SolverConfig, drift: int) -> tuple[str, str]:
     """(deposit, gather) MXU precision for a pass at this drift level.
 
-    Sorted passes (drift == 0) always use ``pm_precision``; widened
-    passes honour ``pm_precision_widened``, where "bf16-gather" lowers
-    only the gather (the deposit feeds the measured density/P(k), the
-    gather only the forces)."""
-    if not drift:
-        return cfg.pm_precision, cfg.pm_precision
-    wp = cfg.pm_precision_widened
-    if wp == "bf16-gather":
-        return cfg.pm_precision, "bf16"
-    return wp, wp
+    Sorted passes (drift == 0) use ``pm_precision``; widened passes
+    honour ``pm_precision_widened``. In either slot "bf16-gather"
+    lowers only the gather to one native bf16 pass (the deposit feeds
+    the measured density/P(k), the gather only the forces); the deposit
+    then runs at the exact base precision (``pm_precision``, or bf16x3
+    when ``pm_precision`` is itself "bf16-gather")."""
+    base_dep = ("bf16x3" if cfg.pm_precision == "bf16-gather"
+                else cfg.pm_precision)
+    mode = cfg.pm_precision if not drift else cfg.pm_precision_widened
+    if mode == "bf16-gather":
+        return base_dep, "bf16"
+    return mode, mode
+
+
+def sorted_precisions(cfg: SolverConfig) -> tuple[str, str]:
+    """(deposit, gather) MXU precision for a freshly sorted pass."""
+    return widened_precisions(cfg, 0)
+
+
+# accepted _dot modes (ops/pallas_pm.py); "bf16-gather" additionally
+# allowed for the widened key (lowers only the gather of widened passes)
+_PM_PRECISIONS = ("f32", "bf16", "bf16x3")
+
+
+def widened_deposit_exact(cfg: SolverConfig) -> bool:
+    """True when drift-widened passes deposit at the same MXU precision
+    as sorted passes -- i.e. a P(k) measured off a widened deposit is as
+    exact as off a sorted one (same weights to the same cells; only the
+    tile summation order differs, ~1 ulp f32)."""
+    return widened_precisions(cfg, 1)[0] == widened_precisions(cfg, 0)[0]
 
 
 def config_from_param(param) -> SolverConfig:
+    cfg = _config_from_param(param)
+    # validate at parse time: a typo'd precision mode must name the
+    # param key here, not surface as _dot's trace-time error on the
+    # first drift>0 step (ADVICE r4)
+    if cfg.pm_precision not in _PM_PRECISIONS + ("bf16-gather",):
+        raise ValueError(
+            f"pm_precision={cfg.pm_precision!r}: expected one of "
+            f"{_PM_PRECISIONS + ('bf16-gather',)}"
+        )
+    if cfg.pm_precision_widened not in _PM_PRECISIONS + ("bf16-gather",):
+        raise ValueError(
+            f"pm_precision_widened={cfg.pm_precision_widened!r}: expected "
+            f"one of {_PM_PRECISIONS + ('bf16-gather',)}"
+        )
+    return cfg
+
+
+def _config_from_param(param) -> SolverConfig:
     return SolverConfig(
         theory=str(param["theory"]).casefold(),
         ncoarse=int(param["ncoarse"]),
@@ -376,9 +418,10 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
             position, velocity, n, cfg.mass_scheme,
             mode=cfg.sort_mode,
         )
+        prec_dep, prec_gat = sorted_precisions(cfg)
         density = pallas_pm.deposit(
             position, tstarts, n, cfg.mass_scheme, interpret,
-            precision=cfg.pm_precision,
+            precision=prec_dep,
         )
         if n ** 3 != cfg.npart:
             density = density * norm
@@ -388,7 +431,7 @@ def _pm_impl(cfg: SolverConfig, first_call: bool, save_pk: bool,
         )
         acceleration = pallas_pm.gather_vec_cl(
             force, position, tstarts, cfg.mass_scheme, interpret,
-            precision=cfg.pm_precision,
+            precision=prec_gat,
         )
         overflow = jnp.int32(0)  # range-masked chunks cannot overflow
         return (position, velocity, acceleration, potential, u, pk,

@@ -110,8 +110,9 @@ def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
     # 4.3 GB it holds is the margin the solve/gather stages need
     del position, velocity
     t_dep, dens = timeit(
-        lambda p, s: pallas_pm.deposit(p, s, m, scheme, interpret,
-                                       precision=cfg.pm_precision),
+        lambda p, s: pallas_pm.deposit(
+            p, s, m, scheme, interpret,
+            precision=solver_mod.sorted_precisions(cfg)[0]),
         pos_s, starts,
     )
     norm = jnp.float32(m ** 3 / cfg.npart)
@@ -126,8 +127,9 @@ def component_breakdown(cfg, position, velocity, dyn, iters: int = 3):
 
     t_solve, force = timeit(solve, dens)
     t_gat, _ = timeit(
-        lambda f, p, s: pallas_pm.gather_vec(f, p, s, scheme, interpret,
-                                             precision=cfg.pm_precision),
+        lambda f, p, s: pallas_pm.gather_vec(
+            f, p, s, scheme, interpret,
+            precision=solver_mod.sorted_precisions(cfg)[1]),
         force, pos_s, starts,
     )
     return {

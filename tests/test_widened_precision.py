@@ -28,14 +28,15 @@ import numpy as np
 from tests.test_full_run_fidelity import Z_OUT, _golden
 
 
-def _run_widened(tmp_path, widened, parallel_mode=None):
+def _run_widened(tmp_path, widened, parallel_mode=None, extra=None):
     import pysco_tpu
     from pysco_tpu.cosmo import write_power_spectrum_table
 
     pk_file = tmp_path / "pk.dat"
     if not pk_file.exists():
         write_power_spectrum_table(str(pk_file))
-    base = tmp_path / f"run_{widened}_{parallel_mode or 'single'}"
+    tag = "_".join(f"{k}-{v}" for k, v in (extra or {}).items())
+    base = tmp_path / f"run_{widened}_{parallel_mode or 'single'}_{tag}"
     param = {
         "theory": "newton", "H0": 72, "Om_m": 0.25733, "T_cmb": 2.726,
         "N_eff": 3.044, "w0": -1.0, "wa": 0.0, "boxlen": 100,
@@ -53,6 +54,8 @@ def _run_widened(tmp_path, widened, parallel_mode=None):
     }
     if parallel_mode:
         param["parallel_mode"] = parallel_mode
+    if extra:
+        param.update(extra)
     pysco_tpu.run(param)
     out = {}
     for f in sorted(base.glob("power/pk_*.dat")):
@@ -86,6 +89,21 @@ def test_production_default_bf16_gather_slab(tmp_path):
         _run_widened(tmp_path, "bf16-gather", parallel_mode="slab")
     )
     assert worst < 5e-4, f"slab bf16-gather P(k) impact {worst:.2e}"
+
+
+def test_sorted_pass_bf16_gather_bound(tmp_path):
+    """pm_precision = "bf16-gather": the SORTED-pass gather also runs
+    one bf16 MXU pass (every deposit stays bf16x3-exact, so measured
+    density/P(k) bins are untouched; every gather now carries ~2e-3
+    force rounding, not just the stale-bin ones). Full-horizon P(k)
+    impact measured 2026-08-20 (CPU-faithful path): 1.8e-4 -- same
+    order as the widened default, because the widened passes already
+    dominate the gather count at the production cadence. Bound ~3x
+    above measurement."""
+    worst = _max_rel_vs_golden(_run_widened(
+        tmp_path, "bf16-gather", extra={"pm_precision": "bf16-gather"}
+    ))
+    assert worst < 5e-4, f"sorted bf16-gather P(k) impact {worst:.2e}"
 
 
 def test_full_bf16_documented_bound(tmp_path):
