@@ -375,10 +375,19 @@ def _param_dict(ncoarse, npart, scheme, theory, solver_name, extra=None):
     return param
 
 
-def _slab_d1_state(cfg, npart, slack=1.25, seed=0):
+def _slab_d1_state(cfg, npart, slack=1.0, seed=0):
     """On-device slab column state for ONE shard (D=1: every particle is
     local, so the host-side distribute_particles pass -- and its multi-GB
-    tunnel upload at 512^3 -- is unnecessary)."""
+    tunnel upload at 512^3 -- is unnecessary).
+
+    slack=1.0 (not the production 1.25): at D=1 migration is an
+    identity, so capacity overflow is impossible, and the probe should
+    isolate the distribution MACHINERY (pencil-FFT transposes, halo and
+    migration ppermutes) -- the single-chip baseline it is compared to
+    carries no pad either. The 1.25 pad also does not fit HBM next to
+    the f(R) scalaron grid at 512^3 (measured RESOURCE_EXHAUSTED,
+    2026-08-20); sentinel pad columns are range-masked out of the tile
+    kernels anyway, so the production-slack cost at D=8 is minor."""
     import jax
     import jax.numpy as jnp
     import jax.random as jr
@@ -414,7 +423,7 @@ def _slab_d1_state(cfg, npart, slack=1.25, seed=0):
 
 
 def bench_dist_d1(mode, ncoarse, npart, scheme="cic", theory="newton",
-                  solver_name="fft", iters=4, warmup=2):
+                  solver_name="fft", iters=4, warmup=2, slack=1.0):
     """Distribution-mode step rate on ONE device (VERDICT r4 item 1).
 
     At D=1 every collective is an identity (the pencil-FFT all_to_alls,
@@ -436,7 +445,7 @@ def bench_dist_d1(mode, ncoarse, npart, scheme="cic", theory="newton",
         from pysco_tpu.parallel import slab
 
         mesh = slab.make_mesh(1)
-        state = _slab_d1_state(cfg, npart)
+        state = _slab_d1_state(cfg, npart, slack)
         first = slab.make_slab_step(cfg, mesh, "leapfrog",
                                     first_call=True, donate=True)
         state = first(*state, dyn, np.float32(0))[:6]
@@ -622,15 +631,21 @@ def _result_dict(value, baseline, extra, components, components_512=None,
         if isinstance(b, (int, float)) and isinstance(s, (int, float)):
             out[f"slab_d1_overhead_{size}"] = round(1 - s / b, 3)
             out[f"projected_v5e8_{size}_steps_per_sec"] = round(8 * s, 3)
-    # production-cadence projection: the D=1 slab row is an EAGER
-    # (sorted-every-step) rate; scale it by the measured single-chip
-    # c05/eager ratio (the slab loop runs the same lazy cadence)
-    proj = out.get("projected_v5e8_512_steps_per_sec")
+    # production-cadence projection: prefer the PRODUCTION-slack D=1
+    # rate (embeds the per-shard capacity pad cost at eager weighting --
+    # conservative, since the pad hits mainly the sort, amortised /6 at
+    # the cadence); the D=1 rows are EAGER rates, so scale by the
+    # measured single-chip c05/eager ratio (the slab loop runs the same
+    # lazy cadence)
+    s10 = extra.get("newton_cic_fft_512_slab1")
+    sprod = extra.get("newton_cic_fft_512_slab1_prodslack")
+    s_proj = sprod if isinstance(sprod, (int, float)) else s10
     eag = extra.get("newton_cic_fft_512")
     c05 = extra.get("newton_cic_fft_512_lazy_courant05")
-    if (proj and baseline_512 and isinstance(eag, (int, float))
+    if (isinstance(s_proj, (int, float)) and baseline_512
+            and isinstance(eag, (int, float))
             and isinstance(c05, (int, float))):
-        proj_c05 = proj * c05 / eag
+        proj_c05 = 8 * s_proj * c05 / eag
         out["projected_v5e8_512_courant05_steps_per_sec"] = round(
             proj_c05, 3)
         out["projected_v5e8_512_vs_baseline_est_32core"] = round(
@@ -785,6 +800,12 @@ def main():
             e, "newton_cic_fft_512_slab1",
             "round(bench.bench_dist_d1('slab', 9, 512 ** 3, 'cic', "
             "'newton', 'fft', iters=4, warmup=2), 3)")),
+        # same row at the PRODUCTION capacity slack (1.25): includes the
+        # per-shard sort's pad cost, the conservative projection input
+        ("newton_cic_fft_512_slab1_prodslack", 9, 1, lambda e: iso(
+            e, "newton_cic_fft_512_slab1_prodslack",
+            "round(bench.bench_dist_d1('slab', 9, 512 ** 3, 'cic', "
+            "'newton', 'fft', iters=4, warmup=2, slack=1.25), 3)")),
         ("fr_n1_cic_multigrid_512_slab1", 9, 3, lambda e: iso(
             e, "fr_n1_cic_multigrid_512_slab1",
             "round(bench.bench_dist_d1('slab', 9, 512 ** 3, 'cic', "
