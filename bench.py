@@ -818,6 +818,20 @@ def main():
             e, "newton_cic_fft_256_repl1",
             "round(bench.bench_dist_d1('replicated', 8, 256 ** 3, 'cic', "
             "'newton', 'fft', iters=8, warmup=3), 3)")),
+        # opt-in sorted-pass bf16 gather (pm_precision = "bf16-gather"):
+        # adjudicated round 5, kept opt-in (P(k) impact 1.8e-4 would
+        # breach the 1e-4 fidelity-golden tolerance as a default); the
+        # rows document the measured gain (+6.5% eager 256^3, +3.9%
+        # eager / +1.2% production-cadence 512^3)
+        ("newton_cic_fft_256_sorted_bf16g", 8, 1, lambda e: cfg_task(
+            e, "newton_cic_fft_256_sorted_bf16g", 8, 256 ** 3, "cic",
+            "newton", "fft", ITERS,
+            extra_param={"pm_precision": "bf16-gather"})),
+        ("newton_cic_fft_512_sorted_bf16g", 9, 1, lambda e: iso(
+            e, "newton_cic_fft_512_sorted_bf16g",
+            "round(bench.bench_config(9, 512 ** 3, 'cic', 'newton', "
+            "'fft', iters=4, warmup=2, extra_param={'pm_precision': "
+            "'bf16-gather'}), 3)")),
         cfg("fr_n1_tsc_multigrid_256"),
         ("newton_cic_fft_256_lazy_skip", 8, 4,
          lambda e: _lazy_task(e, "newton_cic_fft_256", iters_outer=4)),
