@@ -43,6 +43,14 @@ ASSUMED_REFERENCE_CORES = 32
 # round-3 default of 900 was the binding constraint that budget-skipped
 # every 512^3 row in the driver capture.)
 BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+# Per-task wall cap for isolated subprocess tasks. The axon server
+# intermittently stalls a client for 20-30 min (observed 2026-08-21:
+# a warm f(R) FAS task that normally runs in ~4 min wedged for 28 and
+# starved every later task); with the cap a wedged task costs ONE row,
+# not the table. 700 s is ~2-3x the warm cost of the heaviest task --
+# only a fully cold FAS compile would legitimately exceed it, and the
+# driver runs against the prewarmed persistent cache.
+PER_TASK_S = float(os.environ.get("BENCH_TASK_CAP_S", "700"))
 _T0 = time.perf_counter()
 
 
@@ -763,10 +771,10 @@ def main():
         from earlier tasks (the round-3 first capture lost every TSC row
         to an OOM cascade after an in-process 512^3 task), and the
         persistent compile cache keeps the subprocess compiles warm."""
-        e[label] = _run_isolated(expr, _remaining() - 30)
+        e[label] = _run_isolated(expr, min(_remaining() - 30, PER_TASK_S))
 
     def iso_update(e, expr):
-        e.update(_run_isolated(expr, _remaining() - 30))
+        e.update(_run_isolated(expr, min(_remaining() - 30, PER_TASK_S)))
 
     # (first_key, ncoarse, n_programs, fn) in priority order. The
     # BASELINE north-star 512^3 rows (Newton + f(R), eager AND the
@@ -779,10 +787,9 @@ def main():
             e, "newton_cic_fft_512",
             "round(bench.bench_config(9, 512 ** 3, 'cic', 'newton', "
             "'fft', iters=4, warmup=2), 3)")),
-        ("fr_n1_cic_multigrid_512", 9, 3, lambda e: iso(
-            e, "fr_n1_cic_multigrid_512",
-            "round(bench.bench_config(9, 512 ** 3, 'cic', 'fr', "
-            "'multigrid', iters=3, warmup=2), 3)")),
+        # production-cadence (c05) north-star rows FIRST, then the f(R)
+        # eager row: a per-task stall (see PER_TASK_S) costs the least
+        # valuable of the four, not the cadence rows
         ("newton_cic_fft_512_lazy_skip", 9, 4, lambda e: iso_update(
             e, "bench._lazy_rows('newton_cic_fft_512', scheme='cic', "
             "iters_outer=2, ncoarse=9, npart=512 ** 3)")),
@@ -790,6 +797,10 @@ def main():
             e, "bench._lazy_rows('fr_n1_cic_multigrid_512', scheme='cic', "
             "iters_outer=2, ncoarse=9, npart=512 ** 3, theory='fr', "
             "solver_name='multigrid')")),
+        ("fr_n1_cic_multigrid_512", 9, 3, lambda e: iso(
+            e, "fr_n1_cic_multigrid_512",
+            "round(bench.bench_config(9, 512 ** 3, 'cic', 'fr', "
+            "'multigrid', iters=3, warmup=2), 3)")),
         # 512^3 component table BEFORE the 256^3 breadth (VERDICT r4:
         # the north-star-size breakdown outranks the lazy-variant rows)
         ("components_512", 9, 2, None),  # handled specially below
@@ -850,7 +861,7 @@ def main():
          lambda e: e.__setitem__(
              "ic_2lpt_512_seconds",
              _run_isolated("round(bench.bench_ic_device(), 1)",
-                           _remaining() - 30))),
+                           min(_remaining() - 30, PER_TASK_S)))),
     ]
     special = ("components", "components_512")
 
@@ -945,7 +956,7 @@ def main():
                 components_512 = _run_isolated(
                     "bench.bench_components(ncoarse=9, npart=512 ** 3, "
                     "scheme='cic', iters=2)",
-                    _remaining() - 30,
+                    min(_remaining() - 30, PER_TASK_S),
                 )
             else:
                 fn(extra)
