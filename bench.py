@@ -895,6 +895,20 @@ def main():
                     merged[ck] = old[ck]
         except (OSError, ValueError, KeyError):
             pass
+        # recompute the derived top-level fields (vs_baseline_512*,
+        # slab overhead, v5e-8 projection) from the MERGED extras --
+        # otherwise a budget-limited run that missed e.g. the c05 row
+        # silently drops the derived keys an earlier run computed
+        merged_extra = merged["extra_metrics_steps_per_sec"]
+        hv = merged_extra.get("newton_cic_fft_256", merged.get("value"))
+        if isinstance(hv, (int, float)):
+            rebuilt = _result_dict(
+                hv, baseline, merged_extra,
+                merged.get("component_ms_256_tsc"),
+                merged.get("component_ms_512_cic"), baseline_512,
+            )
+            rebuilt["extra_metrics_steps_per_sec"] = merged_extra
+            merged = rebuilt
         # stamp every row numerically captured by THIS run; carried-
         # forward rows keep their old stamp, so the README table can
         # show when each number was last measured (ADVICE r4)
@@ -920,6 +934,31 @@ def main():
             _merge_latest(result)
         except OSError:
             pass
+
+    def _drain_server(max_wait_s):
+        """Wait out an orphaned server-side job after a task timeout.
+
+        Killing a subprocess does NOT stop its server-side compile/run
+        on the axon backend; every later heavy client queues behind it
+        and times out in turn (observed cascade, 2026-08-21). A cheap
+        probe op queues the same way but costs nothing -- loop it until
+        the server answers fast, then resume real tasks."""
+        import subprocess
+        import sys
+
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < max_wait_s:
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp; "
+                     "print(float(jnp.sum(jnp.arange(64.0))))"],
+                    timeout=120, capture_output=True, text=True)
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+        return False
 
     def _recover_device():
         """Free every device buffer after a failed task. A 512^3 OOM
@@ -975,6 +1014,12 @@ def main():
             else:
                 extra[first_key] = msg
             _recover_device()
+            import subprocess as _sp
+
+            if isinstance(e, _sp.TimeoutExpired):
+                # the killed task's server-side work is still running;
+                # drain before queuing the next heavy client behind it
+                _drain_server(min(max(_remaining() - 120, 0), 900))
         _emit()
 
     # --- final line: the full table (last JSON line wins; nothing may
