@@ -687,16 +687,28 @@ def _probe_tpu() -> bool:
     import sys
 
     probe_s = float(os.environ.get("BENCH_TPU_PROBE_S", "240"))
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "print(d[0].platform, len(d))"],
-            timeout=probe_s, capture_output=True, text=True,
-        )
-        return r.returncode == 0 and "tpu" in r.stdout.lower()
-    except subprocess.TimeoutExpired:
-        return False
+    tries = int(os.environ.get("BENCH_TPU_PROBE_TRIES", "4"))
+    # Retry: a freshly killed client elsewhere leaves a server-side
+    # orphan that wedges new clients for up to ~30 min (2026-08-21);
+    # the server recovers on its own, so waiting through a few probe
+    # windows turns a would-be zero-value run into a full capture.
+    # Worst case 4 x 240 s = 16 min against the 2100 s budget; the
+    # task gating then simply captures fewer rows.
+    for i in range(max(tries, 1)):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "d = jax.devices(); "
+                 "v = float(jnp.sum(jnp.arange(8.0))); "
+                 "print(d[0].platform, len(d), v)"],
+                timeout=probe_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "tpu" in r.stdout.lower():
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
